@@ -1,0 +1,83 @@
+"""Shared argparse → Config mapping for all CLIs.
+
+One parser (flag names follow the reference `options.py:7-73` where sensible)
+instead of the reference's per-script re-declared parsers
+(`test_long_GPU.py:21-47`, `FFA_model/option.py`).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax.numpy as jnp
+
+from dehaze_tpu.config import Config, DataConfig, LossConfig, ModelConfig, TrainConfig
+
+
+def add_common_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
+    # model
+    p.add_argument("--arch", default="uformer", choices=["uformer", "ffa", "unet"])
+    p.add_argument("--embed_dim", type=int, default=32)
+    p.add_argument("--win_size", type=int, default=8)
+    p.add_argument("--token_projection", default="linear")
+    p.add_argument("--token_mlp", default="leff", choices=["leff", "ffn"])
+    p.add_argument("--attention", default="probsparse",
+                   choices=["probsparse", "full"])
+    p.add_argument("--no_rel_pos_bias", action="store_true",
+                   help="ablation: disable relative position bias "
+                        "(reference options.py:5)")
+    p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    # loss
+    p.add_argument("--is_ab", action="store_true",
+                   help="CR ablation: drop the negative term")
+    p.add_argument("--w_loss_vgg7", type=float, default=1.0)
+    p.add_argument("--w_loss_CharbonnierLoss", type=float, default=1.0)
+    p.add_argument("--vgg_weights", default=None)
+    # data
+    p.add_argument("--train_dir", default="")
+    p.add_argument("--val_dir", default="")
+    p.add_argument("--train_ps", type=int, default=128)
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--train_workers", type=int, default=8)
+    # train
+    p.add_argument("--nepoch", type=int, default=270)
+    p.add_argument("--optimizer", default="adamw")
+    p.add_argument("--lr_initial", type=float, default=2e-4)
+    p.add_argument("--weight_decay", type=float, default=0.02)
+    p.add_argument("--warmup", action="store_true", default=False)
+    p.add_argument("--warmup_epochs", type=int, default=3)
+    p.add_argument("--seed", type=int, default=1234)
+    p.add_argument("--save_dir", default="./log")
+    p.add_argument("--env", default="_")
+    p.add_argument("--resume", action="store_true", default=False)
+    p.add_argument("--pretrain_weights", default="")
+    p.add_argument("--data_axis", type=int, default=None,
+                   help="data-parallel mesh size (default: single device)")
+    return p
+
+
+def config_from_args(a: argparse.Namespace) -> Config:
+    dtype = jnp.bfloat16 if a.dtype == "bfloat16" else jnp.float32
+    return Config(
+        model=ModelConfig(
+            arch=a.arch, img_size=a.train_ps, embed_dim=a.embed_dim,
+            win_size=a.win_size, token_projection=a.token_projection,
+            token_mlp=a.token_mlp, attention=a.attention,
+            use_rel_pos_bias=not a.no_rel_pos_bias, dtype=dtype,
+        ),
+        loss=LossConfig(
+            w_charbonnier=a.w_loss_CharbonnierLoss, w_contrast=a.w_loss_vgg7,
+            contrast_ablation=a.is_ab, vgg_weights=a.vgg_weights,
+        ),
+        data=DataConfig(
+            train_dir=a.train_dir, val_dir=a.val_dir, train_ps=a.train_ps,
+            batch_size=a.batch_size, num_workers=a.train_workers,
+        ),
+        train=TrainConfig(
+            nepoch=a.nepoch, optimizer=a.optimizer, lr_initial=a.lr_initial,
+            weight_decay=a.weight_decay, warmup=a.warmup,
+            warmup_epochs=a.warmup_epochs, seed=a.seed, save_dir=a.save_dir,
+            env=a.env, resume=a.resume, pretrain_weights=a.pretrain_weights,
+            data_axis=a.data_axis,
+        ),
+    )

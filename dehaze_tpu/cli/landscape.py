@@ -1,0 +1,101 @@
+"""Loss-landscape sweep (≙ `My_losslandscape.py` / `FFA_losslandscape.py`).
+
+    python -m dehaze_tpu.cli.landscape --weights .../model_best.msgpack \
+        --train_dir .../train_patches --n 21 --out_csv landscape.csv
+"""
+
+import argparse
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dehaze_tpu.cli.common import add_common_args, config_from_args
+from dehaze_tpu.data.augment import mixup
+from dehaze_tpu.data.pipeline import PairedFolder, train_batches
+from dehaze_tpu.models import get_arch
+from dehaze_tpu.models import vgg as vgg_mod
+from dehaze_tpu.ops import landscape as LS
+from dehaze_tpu.ops import losses as L
+from dehaze_tpu.train.checkpoint import load_checkpoint
+
+
+def main():
+    p = add_common_args(argparse.ArgumentParser(description="loss landscape"))
+    p.add_argument("--weights", required=True)
+    p.add_argument("--n", type=int, default=21)
+    p.add_argument("--scale", type=float, default=1.0)
+    p.add_argument("--out_csv", default="losslandscape.csv")
+    p.add_argument("--out_plot", default="losslandscape.jpg")
+    p.add_argument("--max_batches", type=int, default=0,
+                   help="cap eval batches per point (0 = full train set, "
+                        "matching the reference's 441 full-set evals)")
+    p.add_argument("--use_mixup", action="store_true", default=True,
+                   help="the reference sweeps apply MixUp during the loss "
+                        "eval (My_losslandscape.py:193)")
+    args = p.parse_args()
+    cfg = config_from_args(args)
+
+    model = get_arch(cfg.model)
+    key = jax.random.PRNGKey(0)
+    probe = jnp.zeros((1, cfg.data.train_ps, cfg.data.train_ps, 3), jnp.float32)
+    variables = jax.jit(
+        lambda: model.init({"params": key, "sample": key}, probe)
+    )()
+    _, params, _, _ = load_checkpoint(args.weights, variables["params"])
+
+    use_cr = cfg.loss.w_contrast > 0
+    vgg = vgg_mod.make_cr_vgg(dtype=cfg.model.dtype) if use_cr else None
+    vgg_params = None
+    if use_cr:
+        vgg_params = (vgg_mod.load_params_npz(vgg, cfg.loss.vgg_weights)
+                      if cfg.loss.vgg_weights else vgg_mod.init_vgg_params(vgg))
+
+    @jax.jit
+    def batch_loss(p, clean, hazy, k):
+        if args.use_mixup:
+            clean, hazy = mixup(k, clean, hazy, cfg.data.mixup_beta)
+        restored = model.apply({"params": p}, hazy, train=False,
+                               rngs={"sample": k})
+        restored = jnp.clip(restored, 0.0, 1.0)
+        loss = cfg.loss.w_charbonnier * L.charbonnier_loss(
+            restored, clean, cfg.loss.charbonnier_eps)
+        if use_cr:
+            feats = lambda im: vgg.apply(vgg_params, im)
+            l_cr, _, _ = L.contrast_loss_from_features(
+                feats(restored), feats(clean), feats(hazy),
+                weights=cfg.loss.contrast_weights,
+                ablation=cfg.loss.contrast_ablation)
+            loss = loss + cfg.loss.w_contrast * l_cr
+        return loss
+
+    folder = PairedFolder(cfg.data.train_dir)
+
+    def loss_on_dataset(p):
+        k = jax.random.PRNGKey(1)
+        losses = []
+        it = train_batches(folder, batch_size=cfg.data.batch_size,
+                           patch_size=cfg.data.train_ps, seed=cfg.train.seed,
+                           epoch=0, num_workers=cfg.data.num_workers)
+        for i, (clean, hazy) in enumerate(it):
+            if args.max_batches and i >= args.max_batches:
+                break
+            k, sub = jax.random.split(k)
+            losses.append(float(batch_loss(p, jnp.asarray(clean),
+                                           jnp.asarray(hazy), sub)))
+        return float(np.mean(losses))
+
+    rows = LS.get_loss_landscape(
+        params, loss_on_dataset,
+        kws=["pos_embed", "relative_position"],  # My_losslandscape.py:198
+        n=args.n, scale=args.scale, seed=cfg.train.seed,
+        csv_path=args.out_csv, verbose=True,
+    )
+    all_rows = LS.load_landscape_csv(args.out_csv) if args.out_csv else rows
+    LS.plot_landscape(all_rows, args.out_plot)
+    print(f"{len(all_rows)} points -> {args.out_csv}, {args.out_plot}")
+
+
+if __name__ == "__main__":
+    main()

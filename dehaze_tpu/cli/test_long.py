@@ -1,0 +1,74 @@
+"""Whole-image evaluation (≙ `test_long_GPU.py` / `test_long.py` — the
+published-number protocol, README.md:145-161).
+
+    python -m dehaze_tpu.cli.test_long --input_dir .../test \
+        --weights .../model_best.msgpack --result_dir ./results/long_NH
+"""
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dehaze_tpu.cli.common import add_common_args, config_from_args
+from dehaze_tpu.data.images import save_img
+from dehaze_tpu.data.pipeline import PairedFolder, val_images
+from dehaze_tpu.infer.tiled import canvas_size, make_whole_image_fn
+from dehaze_tpu.models import get_arch
+from dehaze_tpu.ops import metrics as M
+from dehaze_tpu.train.checkpoint import load_checkpoint
+
+
+def main():
+    p = add_common_args(argparse.ArgumentParser(description="whole-image eval"))
+    p.add_argument("--input_dir", required=True)
+    p.add_argument("--weights", required=True)
+    p.add_argument("--result_dir", default="./results/long")
+    p.add_argument("--save_images", action="store_true", default=True)
+    p.add_argument("--ssim_data_range", type=float, default=2.0,
+                   help="2.0 replicates skimage's float default used for the "
+                        "published numbers; 1.0 is physically correct")
+    args = p.parse_args()
+    cfg = config_from_args(args)
+
+    model = get_arch(cfg.model)
+    key = jax.random.PRNGKey(0)
+    folder = PairedFolder(args.input_dir)
+    os.makedirs(args.result_dir, exist_ok=True)
+
+    # init with the right structure, then load weights
+    probe = jnp.zeros((1, args.train_ps, args.train_ps, 3), jnp.float32)
+    variables = jax.jit(
+        lambda: model.init({"params": key, "sample": key}, probe)
+    )()
+    _, params, _, _ = load_checkpoint(args.weights, variables["params"])
+    variables = {"params": params}
+
+    def apply_fn(x):
+        return model.apply(variables, x, train=False, rngs={"sample": key})
+
+    run = None
+    geom = None
+    psnrs, ssims = [], []
+    for clean, hazy, name in val_images(folder):
+        h, w = hazy.shape[:2]
+        if geom != (h, w):
+            run = make_whole_image_fn(apply_fn, h, w, args.train_ps)
+            geom = (h, w)
+        out = np.asarray(run(jnp.asarray(hazy)[None])[0])
+        psnr = float(M.psnr(jnp.asarray(out), jnp.asarray(clean)))
+        ssim = float(M.ssim(jnp.asarray(out), jnp.asarray(clean),
+                            data_range=args.ssim_data_range))
+        psnrs.append(psnr)
+        ssims.append(ssim)
+        print(f"{name}: PSNR {psnr:.4f} SSIM {ssim:.4f}", flush=True)
+        if args.save_images:
+            save_img(os.path.join(args.result_dir, name), out)
+
+    print(f"PSNR: {np.mean(psnrs):.6f}, SSIM: {np.mean(ssims):.6f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,48 @@
+"""Image I/O — cv2 BGR→RGB float32 in [0,1].
+
+Reference: `Uformer_ProbSparse/utils/image_utils.py:43-53` (load_img/save_img)
+and the file-type predicates (`:11-24`). PIL fallback when cv2 is absent.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+try:
+    import cv2
+
+    _HAS_CV2 = True
+except Exception:  # pragma: no cover
+    from PIL import Image
+
+    _HAS_CV2 = False
+
+
+def is_png_file(filename: str) -> bool:
+    return filename.lower().endswith(".png")
+
+
+def is_image_file(filename: str) -> bool:
+    return filename.lower().endswith((".png", ".jpg", ".jpeg", ".bmp"))
+
+
+def load_img(path: str) -> np.ndarray:
+    """[H, W, 3] float32 RGB in [0, 1] (cv2 BGR→RGB, /255)."""
+    if _HAS_CV2:
+        img = cv2.imread(path, cv2.IMREAD_COLOR)
+        if img is None:
+            raise FileNotFoundError(path)
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    else:  # pragma: no cover
+        img = np.asarray(Image.open(path).convert("RGB"))
+    return img.astype(np.float32) / 255.0
+
+
+def save_img(path: str, img: np.ndarray) -> None:
+    """Save [H, W, 3] float (0..1) or uint8 RGB."""
+    if img.dtype != np.uint8:
+        img = np.clip(img * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    if _HAS_CV2:
+        cv2.imwrite(path, cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+    else:  # pragma: no cover
+        Image.fromarray(img).save(path)

@@ -1,0 +1,144 @@
+"""Shared Flax building blocks for the Uformer family.
+
+Reference blocks these correspond to (behavioral parity, not translation):
+InputProj/OutputProj (`My_model_1.py:659-733`), Downsample/Upsample
+(`:606-655`), Mlp (`:446-474`), LeFF (`:477-534`), DropPath (timm, used at
+`:775`). All modules operate on NHWC feature maps — the reference's
+[B, L, C] + sqrt(L) reshape round-trips are layout no-ops on TPU and dropped.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+trunc_init = nn.initializers.truncated_normal(stddev=0.02)
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth (timm DropPath, `My_model_1.py:775`)."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("droppath")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+class InputProj(nn.Module):
+    """3→C conv3x3 + LeakyReLU (`My_model_1.py:659-682`)."""
+
+    out_channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Conv(self.out_channels, (3, 3), padding="SAME", dtype=self.dtype,
+                    name="proj")(x)
+        return nn.leaky_relu(x, negative_slope=0.01)
+
+
+class OutputProj(nn.Module):
+    """2C→3 conv3x3 (`My_model_1.py:696-723`)."""
+
+    out_channels: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.Conv(self.out_channels, (3, 3), padding="SAME", dtype=self.dtype,
+                       name="proj")(x)
+
+
+class Downsample(nn.Module):
+    """C→2C conv4x4 stride 2 pad 1 (`My_model_1.py:606-629`)."""
+
+    out_channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.Conv(
+            self.out_channels, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)),
+            dtype=self.dtype, name="conv",
+        )(x)
+
+
+class Upsample(nn.Module):
+    """C→C/2 transposed conv2x2 stride 2 (`My_model_1.py:633-648`)."""
+
+    out_channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.ConvTranspose(
+            self.out_channels, (2, 2), strides=(2, 2), padding="VALID",
+            dtype=self.dtype, name="deconv",
+        )(x)
+
+
+class Mlp(nn.Module):
+    """Plain FFN (`My_model_1.py:446-465`, token_mlp='ffn')."""
+
+    hidden_dim: int
+    out_dim: int
+    drop: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        x = nn.Dense(self.hidden_dim, kernel_init=trunc_init, dtype=self.dtype,
+                     name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        x = nn.Dense(self.out_dim, kernel_init=trunc_init, dtype=self.dtype,
+                     name="fc2")(x)
+        return nn.Dropout(self.drop)(x, deterministic=deterministic)
+
+
+class LeFF(nn.Module):
+    """Locally-enhanced FFN (`My_model_1.py:477-534`, token_mlp='leff'):
+
+    Dense(C→hidden) → GELU → depthwise conv3x3 over (H, W) → GELU →
+    Dense(hidden→C). Operates on NHWC (the reference flattens to tokens and
+    reshapes back via sqrt(hw); spatial extent is explicit here).
+    """
+
+    hidden_dim: int
+    out_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Dense(self.hidden_dim, kernel_init=trunc_init, dtype=self.dtype,
+                     name="linear1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Conv(
+            self.hidden_dim, (3, 3), padding="SAME",
+            feature_group_count=self.hidden_dim, dtype=self.dtype, name="dwconv",
+        )(x)
+        x = nn.gelu(x, approximate=False)
+        return nn.Dense(self.out_dim, kernel_init=trunc_init, dtype=self.dtype,
+                        name="linear2")(x)
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm over the channel axis, f32 statistics (torch eps=1e-5)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)

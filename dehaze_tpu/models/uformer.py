@@ -1,0 +1,334 @@
+"""Uformer: U-shaped window-attention transformer for image restoration.
+
+TPU-native rebuild of the reference's active model
+(`Uformer_ProbSparse/My_model_1.py:955-1207` Uformer, `:738-875`
+LeWinTransformerBlock, `:894-946` BasicUformerLayer, `:336-415`
+WindowAttention→AttentionLayer→ProbAttention) with both attention flavors:
+
+- ``attention='probsparse'`` — the ACTIVE reference path (Informer top-u
+  attention inside each window, `ProbSparse/attn.py`), implemented densely
+  with row masks (see `dehaze_tpu.ops.probsparse`).
+- ``attention='full'``      — the W-MSA variant (`My_model.py:428-518`).
+
+Architecture (defaults): InputProj → 4 encoder stages (each: depth×LeWin
+block, then 4x4/s2 conv downsample doubling C) → bottleneck stage → 4 decoder
+stages (2x2/s2 transposed-conv upsample halving C, skip-concat with encoder,
+depth×LeWin block) → OutputProj(2C→3) → global residual ``x + y``.
+
+Layout: NHWC everywhere; all shapes static per (img_size) trace; params f32,
+activations in ``cfg.dtype`` (bf16 by default); LayerNorm/softmax/losses f32.
+
+RNG collections: 'sample' (ProbSparse key sampling — required for
+attention='probsparse'), 'dropout', 'droppath' (train only).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dehaze_tpu.config import ModelConfig
+from dehaze_tpu.models.layers import (
+    DropPath,
+    InputProj,
+    LeFF,
+    Mlp,
+    OutputProj,
+    Downsample,
+    Upsample,
+    trunc_init,
+)
+from dehaze_tpu.ops import probsparse as ps_ops
+from dehaze_tpu.ops import window as win_ops
+
+
+class WindowAttention(nn.Module):
+    """Window multi-head attention with relative-position bias.
+
+    flavor='probsparse': separate q/k/v/out Dense projections (reference
+    AttentionLayer, `attn.py:377-381`) feeding the dense-masked ProbSparse op.
+    flavor='full': fused qkv Dense (reference LinearProjection,
+    `My_model_1.py:264-304`) + proj, single-softmax attention.
+    """
+
+    dim: int
+    win_size: int
+    num_heads: int
+    flavor: str = "probsparse"
+    factor: int = 5
+    use_rel_pos_bias: bool = True
+    qkv_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,  # [B_, N, C]  B_ = batch * num_windows
+        sw_mask: Optional[jnp.ndarray] = None,  # [nW, N, N] additive or None
+    ) -> jnp.ndarray:
+        b, n, c = x.shape
+        h = self.num_heads
+        d = c // h
+
+        table = None
+        if self.use_rel_pos_bias:
+            table = self.param(
+                "relative_position_bias_table",
+                trunc_init,
+                ((2 * self.win_size - 1) ** 2, h),
+                jnp.float32,
+            )
+            bias = win_ops.gather_rel_pos_bias(table, self.win_size, self.win_size)
+        else:
+            bias = None
+
+        if self.flavor == "probsparse":
+            q = nn.Dense(c, use_bias=True, kernel_init=trunc_init, dtype=self.dtype,
+                         name="query")(x)
+            k = nn.Dense(c, use_bias=True, kernel_init=trunc_init, dtype=self.dtype,
+                         name="key")(x)
+            v = nn.Dense(c, use_bias=True, kernel_init=trunc_init, dtype=self.dtype,
+                         name="value")(x)
+            q, k, v = (
+                t.reshape(b, n, h, d).transpose(0, 2, 1, 3) for t in (q, k, v)
+            )
+            u_part = ps_ops.probsparse_u(n, self.factor)
+            sample_idx = ps_ops.sample_indices(self.make_rng("sample"), n, n, u_part)
+            out = ps_ops.probsparse_attention(
+                q, k, v,
+                sample_idx=sample_idx,
+                rel_pos_bias=bias,
+                sw_mask=sw_mask,
+                factor=self.factor,
+            )
+            out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
+            return nn.Dense(c, kernel_init=trunc_init, dtype=self.dtype,
+                            name="out")(out)
+
+        # flavor == "full": W-MSA (My_model.py:428-518)
+        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, kernel_init=trunc_init,
+                       dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(b, n, 3, h, d).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        out = ps_ops.full_window_attention(
+            q, k, v, rel_pos_bias=bias, sw_mask=sw_mask
+        )
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
+        return nn.Dense(c, kernel_init=trunc_init, dtype=self.dtype, name="proj")(out)
+
+
+class LeWinBlock(nn.Module):
+    """LeWin transformer block (`My_model_1.py:738-875`):
+
+    x + DropPath(WinAttn(LN(x), shift)) ; then x + DropPath(LeFF(LN(x))).
+    Shift collapses to 0 and win to min(res) when the feature map is not
+    bigger than the window (`:764-766`).
+    """
+
+    dim: int
+    input_resolution: int
+    num_heads: int
+    win_size: int = 8
+    shift_size: int = 0
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop: float = 0.0
+    drop_path: float = 0.0
+    token_mlp: str = "leff"
+    attention: str = "probsparse"
+    factor: int = 5
+    use_rel_pos_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        B, H, W, C = x.shape
+        # Window/shift collapse is decided by the CONFIGURED stage resolution
+        # (`My_model_1.py:764-766` uses construction-time input_resolution),
+        # NOT the runtime shape — so parameters (rel-pos bias tables) are
+        # geometry-independent and a model trained at 128² runs unchanged on
+        # a 1664² canvas. Runtime H, W must be multiples of the window.
+        win = self.win_size
+        shift = self.shift_size
+        if self.input_resolution <= win:
+            shift = 0
+            win = self.input_resolution
+        if H % win or W % win:
+            raise ValueError(
+                f"feature map {H}x{W} not divisible by window {win}; pad the "
+                f"input to a multiple of win*2^4 (see infer.tiled)"
+            )
+
+        shortcut = x
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        if shift > 0:
+            y = win_ops.cyclic_shift(y, shift)
+            sw_mask = jnp.asarray(win_ops.shift_attn_mask(H, W, win, shift))
+        else:
+            sw_mask = None
+
+        windows = win_ops.window_partition(y, win)  # [B*nW, N, C]
+        attn_windows = WindowAttention(
+            dim=C,
+            win_size=win,
+            num_heads=self.num_heads,
+            flavor=self.attention,
+            factor=self.factor,
+            use_rel_pos_bias=self.use_rel_pos_bias,
+            qkv_bias=self.qkv_bias,
+            dtype=self.dtype,
+            name="attn",
+        )(windows, sw_mask)
+        y = win_ops.window_reverse(attn_windows, win, H, W)
+        if shift > 0:
+            y = win_ops.cyclic_unshift(y, shift)
+
+        x = shortcut + DropPath(self.drop_path, name="drop_path1")(y, deterministic)
+
+        z = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        hidden = int(C * self.mlp_ratio)
+        if self.token_mlp == "leff":
+            z = LeFF(hidden, C, dtype=self.dtype, name="mlp")(z)
+        else:
+            z = Mlp(hidden, C, drop=self.drop, dtype=self.dtype, name="mlp")(
+                z, deterministic
+            )
+        return x + DropPath(self.drop_path, name="drop_path2")(z, deterministic)
+
+
+class UformerStage(nn.Module):
+    """depth× LeWin blocks, alternating shift 0 / win//2
+    (`My_model_1.py:894-946` BasicUformerLayer)."""
+
+    dim: int
+    input_resolution: int
+    depth: int
+    num_heads: int
+    win_size: int
+    mlp_ratio: float
+    qkv_bias: bool
+    drop: float
+    drop_path: Tuple[float, ...]
+    token_mlp: str
+    attention: str
+    factor: int
+    use_rel_pos_bias: bool
+    use_shift: bool
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        for i in range(self.depth):
+            shift = 0 if (i % 2 == 0 or not self.use_shift) else self.win_size // 2
+            x = LeWinBlock(
+                dim=self.dim,
+                input_resolution=self.input_resolution,
+                num_heads=self.num_heads,
+                win_size=self.win_size,
+                shift_size=shift,
+                mlp_ratio=self.mlp_ratio,
+                qkv_bias=self.qkv_bias,
+                drop=self.drop,
+                drop_path=self.drop_path[i],
+                token_mlp=self.token_mlp,
+                attention=self.attention,
+                factor=self.factor,
+                use_rel_pos_bias=self.use_rel_pos_bias,
+                dtype=self.dtype,
+                name=f"block_{i}",
+            )(x, deterministic)
+        return x
+
+
+class Uformer(nn.Module):
+    """The full 9-stage U-shaped model (`My_model_1.py:955-1207`).
+
+    __call__(x) takes NHWC float images in [0, 1] and returns ``x + y``
+    (global residual, `:1207`). Any H, W that are multiples of
+    win_size * 2**4 work with one trace per geometry.
+    """
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        cfg = self.cfg
+        det = not train
+        depths, heads = cfg.depths, cfg.num_heads
+        n_enc = cfg.num_enc_layers
+        H, W = x.shape[1], x.shape[2]
+
+        # stochastic-depth schedule (`My_model_1.py:984-986`)
+        total_enc = sum(depths[:n_enc])
+        enc_dpr = list(np.linspace(0, cfg.drop_path_rate, total_enc))
+        conv_dpr = [cfg.drop_path_rate] * depths[4]
+        dec_dpr = enc_dpr[::-1]
+
+        inp = x.astype(cfg.dtype)
+        y = InputProj(cfg.embed_dim, dtype=cfg.dtype, name="input_proj")(inp)
+        y = nn.Dropout(cfg.drop_rate)(y, deterministic=det)
+
+        # Configured per-stage resolutions decide window collapse (parameters
+        # stay identical across runtime geometries); see LeWinBlock.__call__.
+        cfg_res = cfg.img_size
+
+        def stage(name, dim, res, idx, dpr):
+            return UformerStage(
+                dim=dim,
+                input_resolution=res,
+                depth=depths[idx],
+                num_heads=heads[idx],
+                win_size=cfg.win_size,
+                mlp_ratio=cfg.mlp_ratio,
+                qkv_bias=cfg.qkv_bias,
+                drop=cfg.drop_rate,
+                drop_path=tuple(dpr),
+                token_mlp=cfg.token_mlp,
+                attention=cfg.attention,
+                factor=cfg.probsparse_factor,
+                use_rel_pos_bias=cfg.use_rel_pos_bias,
+                use_shift=cfg.use_shift,
+                dtype=cfg.dtype,
+                name=name,
+            )
+
+        # Encoder
+        skips = []
+        dim = cfg.embed_dim
+        res = cfg_res
+        start = 0
+        for i in range(n_enc):
+            y = stage(f"encoder_{i}", dim, res, i, enc_dpr[start : start + depths[i]])(
+                y, det
+            )
+            skips.append(y)
+            y = Downsample(dim * 2, dtype=cfg.dtype, name=f"downsample_{i}")(y)
+            dim *= 2
+            res //= 2
+            start += depths[i]
+
+        # Bottleneck
+        y = stage("bottleneck", dim, res, 4, conv_dpr)(y, det)
+
+        # Decoder
+        dstart = 0
+        for i in range(n_enc):
+            idx = 5 + i
+            up_dim = dim // 2
+            y = Upsample(up_dim, dtype=cfg.dtype, name=f"upsample_{i}")(y)
+            y = jnp.concatenate([y, skips[n_enc - 1 - i]], axis=-1)  # [B,H,W,2*up_dim]
+            dim = up_dim * 2
+            res *= 2
+            y = stage(
+                f"decoder_{i}", dim, res, idx, dec_dpr[dstart : dstart + depths[idx]]
+            )(y, det)
+            dstart += depths[idx]
+            dim = up_dim  # next upsample halves this again (concat dim = 2*up_dim)
+
+        # After the loop `y` has 2*embed_dim channels; OutputProj maps to 3.
+        out = OutputProj(cfg.in_chans, dtype=cfg.dtype, name="output_proj")(y)
+        return (x + out.astype(jnp.float32)).astype(jnp.float32)

@@ -1,0 +1,129 @@
+"""VGG19 / VGG16 feature extractors for the contrastive / perceptual losses.
+
+Reference: `Uformer_ProbSparse/My_CR.py:56-86` (VGG19 split into 5 slices at
+relu1_1 / relu2_1 / relu3_1 / relu4_1 / conv5_2-pre-relu boundaries, i.e.
+torchvision `features` indices [0:2), [2:7), [7:12), [12:21), [21:30)) and
+`FFA_model/models/PerceptualLoss.py:6-31` (VGG16 relu1_2 / relu2_2 / relu3_3,
+indices [0:4), [4:9), [9:16)).
+
+Weights: torchvision's pretrained weights are not downloadable in this
+environment (zero egress). `load_params` accepts an .npz converted offline
+(keys `features.{i}.weight` / `.bias`, OIHW conv kernels). Without one, the
+extractor is initialized from a fixed seed — the CR loss remains a valid
+(random-projection) contrastive regularizer and all shapes/tests hold; swap in
+real weights for perceptual parity.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# torchvision VGG feature-layer specs: (out_channels | 'M' for maxpool)
+_VGG19_LAYERS = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+                 512, 512, 512, 512, "M", 512, 512, 512, 512, "M"]
+_VGG16_LAYERS = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+                 512, 512, 512, "M", 512, 512, 512, "M"]
+
+# Slice boundaries in torchvision `features` indexing (conv+relu = 2 entries,
+# maxpool = 1). VGG19 CR slices (`My_CR.py:65-74`); VGG16 perceptual slices.
+VGG19_CR_SLICES = ((0, 2), (2, 7), (7, 12), (12, 21), (21, 30))
+VGG16_PERCEPTUAL_SLICES = ((0, 4), (4, 9), (9, 16))
+
+
+def _features_index_map(layers) -> List[Tuple[int, str]]:
+    """Map torchvision `features` flat index -> op ('conv i' | 'relu' | 'pool')."""
+    ops = []
+    conv_i = 0
+    for l in layers:
+        if l == "M":
+            ops.append(("pool", -1))
+        else:
+            ops.append(("conv", conv_i))
+            ops.append(("relu", -1))
+            conv_i += 1
+    return ops
+
+
+class VGGFeatures(nn.Module):
+    """Runs VGG conv stack, returning activations at given slice boundaries.
+
+    Input: NHWC float in [0, 1] (the reference feeds un-normalized [0,1]
+    images straight into torchvision VGG19 — no ImageNet mean/std — so we do
+    the same; see My_CR.py:102 where vgg(a) is called on raw tensors).
+    """
+
+    arch: str = "vgg19"  # "vgg19" | "vgg16"
+    slices: Sequence[Tuple[int, int]] = VGG19_CR_SLICES
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> List[jnp.ndarray]:
+        layers = _VGG19_LAYERS if self.arch == "vgg19" else _VGG16_LAYERS
+        ops = _features_index_map(layers)
+        end = max(e for _, e in self.slices)
+        outs = []
+        boundaries = {e for _, e in self.slices}
+        x = x.astype(self.dtype)
+        for i, (op, conv_i) in enumerate(ops[:end]):
+            if op == "conv":
+                x = nn.Conv(
+                    self._conv_width(layers, conv_i),
+                    (3, 3), padding="SAME", dtype=self.dtype, name=f"conv_{conv_i}",
+                )(x)
+            elif op == "relu":
+                x = nn.relu(x)
+            else:
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            if (i + 1) in boundaries:
+                outs.append(x)
+        return outs
+
+    @staticmethod
+    def _conv_width(layers, conv_i: int) -> int:
+        widths = [l for l in layers if l != "M"]
+        return widths[conv_i]
+
+
+def make_cr_vgg(dtype=jnp.float32) -> VGGFeatures:
+    """VGG19 with the 5 CR slice boundaries (My_CR.py)."""
+    return VGGFeatures(arch="vgg19", slices=VGG19_CR_SLICES, dtype=dtype)
+
+
+def make_perceptual_vgg(dtype=jnp.float32) -> VGGFeatures:
+    """VGG16 with the 3 FFA perceptual boundaries (PerceptualLoss.py)."""
+    return VGGFeatures(arch="vgg16", slices=VGG16_PERCEPTUAL_SLICES, dtype=dtype)
+
+
+def init_vgg_params(model: VGGFeatures, seed: int = 0, image_hw: int = 64):
+    """Deterministic init (fixed seed) — used when no converted weights exist."""
+    k = jax.random.PRNGKey(seed)
+    x = jnp.zeros((1, image_hw, image_hw, 3), jnp.float32)
+    return model.init(k, x)
+
+
+def load_params_npz(model: VGGFeatures, path: str):
+    """Load torchvision-converted weights from .npz.
+
+    Expected keys: `features.{flat_idx}.weight` (OIHW) / `features.{flat_idx}.bias`
+    for each conv. Converts OIHW -> HWIO.
+    """
+    raw = np.load(path)
+    layers = _VGG19_LAYERS if model.arch == "vgg19" else _VGG16_LAYERS
+    ops = _features_index_map(layers)
+    params = {}
+    conv_flat = {}
+    for i, (op, conv_i) in enumerate(ops):
+        if op == "conv":
+            conv_flat[conv_i] = i
+    for conv_i, flat in conv_flat.items():
+        wk, bk = f"features.{flat}.weight", f"features.{flat}.bias"
+        if wk not in raw:
+            continue
+        w = np.transpose(raw[wk], (2, 3, 1, 0))  # OIHW -> HWIO
+        params[f"conv_{conv_i}"] = {"kernel": jnp.asarray(w), "bias": jnp.asarray(raw[bk])}
+    return {"params": params}

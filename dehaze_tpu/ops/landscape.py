@@ -1,0 +1,205 @@
+"""Filter-normalized loss-landscape sweeps.
+
+Reference: `*/ops/loss_landscapes.py` (create_bases `:54-72`,
+get_loss_landscape `:75-124`, normalize_filter `:11-21`, ignore_bn `:24-31`,
+ignore_kw `:38-47`) + the crash-recovery merge flow (`text.py:18-40`,
+`losslandscape.ipynb`; README.md:201-205 power-cut backstory).
+
+TPU-native design:
+
+- the per-point loss eval is one jitted function re-run with perturbed
+  parameters — no model rebuild, no state_dict copies;
+- every completed grid point is appended to the CSV immediately, so an
+  interrupted sweep resumes by skipping already-present coordinates — the
+  reference's `middle_result.txt` merge notebook becomes unnecessary;
+- points are independent: shard the grid across devices/processes by passing
+  disjoint `point_filter`s.
+"""
+
+from __future__ import annotations
+
+import csv
+import math
+import os
+import re
+from typing import Callable, Dict, Iterable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _path_str(path) -> str:
+    return "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+
+
+def normalize_filter(basis, weights):
+    """b[k] *= ||w[k]||_col / ||b[k]||_col  (loss_landscapes.py:11-21).
+
+    Norms are taken over axis 0 with keepdims, mirroring
+    torch.norm(v, dim=0, keepdim=True).
+    """
+
+    def scale(b, w):
+        wn = jnp.linalg.norm(w, axis=0, keepdims=True)
+        bn = jnp.linalg.norm(b, axis=0, keepdims=True)
+        return wn / (bn + 1e-7) * b
+
+    return jax.tree.map(scale, basis, weights)
+
+
+def ignore_bn(basis):
+    """Zero 1-D (and 0-D) leaves (loss_landscapes.py:24-31)."""
+    return jax.tree.map(lambda b: jnp.zeros_like(b) if b.ndim < 2 else b, basis)
+
+
+def ignore_kw(basis, kws: Optional[Sequence[str]] = None):
+    """Zero leaves whose path matches any regex (loss_landscapes.py:38-47).
+
+    The reference sweep passes ["pos_embed", "relative_position"]
+    (`My_losslandscape.py:198`)."""
+    kws = list(kws or [])
+
+    def f(path, b):
+        name = _path_str(path)
+        if any(re.search(kw, name) for kw in kws):
+            return jnp.zeros_like(b)
+        return b
+
+    return jax.tree_util.tree_map_with_path(f, basis)
+
+
+def create_bases(params, kws: Optional[Sequence[str]] = None, seed: int = 0):
+    """Two filter-normalized random bases (loss_landscapes.py:54-72)."""
+    leaves, treedef = jax.tree.flatten(params)
+    bases = []
+    for i in range(2):
+        key = jax.random.PRNGKey((seed << 1) + i)
+        keys = jax.random.split(key, len(leaves))
+        b = treedef.unflatten(
+            [jax.random.normal(k, l.shape, jnp.float32) for k, l in zip(keys, leaves)]
+        )
+        b = normalize_filter(b, params)
+        b = ignore_bn(b)
+        b = ignore_kw(b, kws)
+        bases.append(b)
+    return bases
+
+
+def perturb(params, bases, x: float, y: float):
+    """w0 + x·b1 + y·b2 (loss_landscapes.py:108-111)."""
+    return jax.tree.map(
+        lambda w, b1, b2: w + x * b1 + y * b2, params, bases[0], bases[1]
+    )
+
+
+def param_l1(params) -> float:
+    """Σ ||p||_1 over leaves (`ops/norm.py:4-12`)."""
+    return float(sum(jnp.sum(jnp.abs(p)) for p in jax.tree.leaves(params)))
+
+
+def param_l2(params) -> float:
+    """Σ ||p||_2 over leaves (`ops/norm.py:15-21` — sum of per-tensor norms)."""
+    return float(sum(jnp.linalg.norm(p.reshape(-1)) for p in jax.tree.leaves(params)))
+
+
+def get_loss_landscape(
+    params,
+    loss_on_dataset: Callable[[object], float],
+    *,
+    kws: Optional[Sequence[str]] = None,
+    bases=None,
+    n: int = 21,
+    scale: float = 1.0,
+    seed: int = 0,
+    csv_path: Optional[str] = None,
+    point_filter: Optional[Callable[[int], bool]] = None,
+    verbose: bool = False,
+) -> List[Dict[str, float]]:
+    """Sweep the n×n grid over [-scale, scale]² (loss_landscapes.py:75-124).
+
+    loss_on_dataset(perturbed_params) -> scalar mean loss over the eval set
+    (the caller owns batching/jit; see train.landscape_loss_fn).
+
+    Rows: {x, y, l1, l2, loss}. With csv_path, each point appends immediately
+    and existing (x, y) rows are skipped on restart (crash recovery ≙ #33).
+    """
+    bases = bases if bases is not None else create_bases(params, kws, seed)
+    xs = np.linspace(-scale, scale, n)
+    ys = np.linspace(-scale, scale, n)
+    grid = np.stack(np.meshgrid(xs, ys), axis=0).transpose(1, 2, 0).reshape(-1, 2)
+
+    done = set()
+    writer = None
+    fh = None
+    if csv_path:
+        os.makedirs(os.path.dirname(os.path.abspath(csv_path)), exist_ok=True)
+        if os.path.exists(csv_path):
+            with open(csv_path) as f:
+                for row in csv.DictReader(f):
+                    done.add((float(row["x"]), float(row["y"])))
+        fh = open(csv_path, "a", newline="")
+        writer = csv.writer(fh)
+        if not done:
+            writer.writerow(["x", "y", "l1", "l2", "loss"])
+            fh.flush()
+
+    rows = []
+    try:
+        for i, (x, y) in enumerate(grid):
+            if point_filter and not point_filter(i):
+                continue
+            if (float(x), float(y)) in done:
+                continue
+            p = perturb(params, bases, float(x), float(y))
+            loss = float(loss_on_dataset(p))
+            row = {
+                "x": float(x), "y": float(y),
+                "l1": param_l1(p), "l2": param_l2(p), "loss": loss,
+            }
+            rows.append(row)
+            if writer:
+                writer.writerow([row["x"], row["y"], row["l1"], row["l2"],
+                                 row["loss"]])
+                fh.flush()
+            if verbose:
+                print(f"Grid: [{x:+.2f} {y:+.2f}] loss: {loss:.6f}", flush=True)
+    finally:
+        if fh:
+            fh.close()
+    return rows
+
+
+def load_landscape_csv(csv_path: str) -> List[Dict[str, float]]:
+    with open(csv_path) as f:
+        return [
+            {k: float(v) for k, v in row.items()} for row in csv.DictReader(f)
+        ]
+
+
+def plot_landscape(rows: Iterable[Dict[str, float]], out_path: str,
+                   title: str = "loss landscape") -> None:
+    """3-D surface plot (≙ `My_losslandscape.py:219-279`)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    rows = list(rows)
+    xs = sorted({r["x"] for r in rows})
+    ys = sorted({r["y"] for r in rows})
+    grid = np.full((len(ys), len(xs)), np.nan)
+    xi = {v: i for i, v in enumerate(xs)}
+    yi = {v: i for i, v in enumerate(ys)}
+    for r in rows:
+        grid[yi[r["y"]], xi[r["x"]]] = r["loss"]
+    X, Y = np.meshgrid(xs, ys)
+    fig = plt.figure(figsize=(8, 6))
+    ax = fig.add_subplot(projection="3d")
+    ax.plot_surface(X, Y, grid, cmap="viridis")
+    ax.set_xlabel("x")
+    ax.set_ylabel("y")
+    ax.set_zlabel("loss")
+    ax.set_title(title)
+    fig.savefig(out_path, dpi=150, bbox_inches="tight")
+    plt.close(fig)

@@ -1,0 +1,159 @@
+"""ProbSparse window attention — dense-masked TPU formulation.
+
+Reference semantics (`Uformer_ProbSparse/ProbSparse/attn.py`, ProbAttention +
+AttentionLayer, as wired into windows by `My_model_1.py:336-415`):
+
+1. sample `U_part = min(factor*ceil(ln L_K), L_K)` key columns per query
+   (`attn.py:91` torch.randint, shared across batch/head),
+2. sparsity score ``M = max(S_sample) - sum(S_sample)/L_K`` (`attn.py:117`),
+3. pick the top ``u = min(factor*ceil(ln L_Q), L_Q)`` queries (`attn.py:122`),
+4. softmax the *scaled raw scores* of those rows (`attn.py:195`),
+5. add the relative-position bias to the **softmaxed** weights (`attn.py:229`)
+   and, for shifted windows, the SW mask rows (`attn.py:246-258`),
+6. softmax **again** (`attn.py:262-264` — the reference really does
+   softmax(softmax(QK·scale) + bias + mask); we preserve this exactly, it is
+   what the published checkpoints were trained with),
+7. rows not in the top-u keep ``mean(V)`` (`attn.py:168-172, 271-272`).
+
+TPU-first redesign — *dense compute + row masks* instead of gather/scatter:
+for window attention N = win² = 64 tokens, computing the full [N, N] score
+matrix on the MXU is cheaper than any gather; the "sampled" S^ columns are just
+a `take_along_axis` over the already-computed scores, and the top-u
+row-selection becomes a `jnp.where` against a one-hot row mask. This is
+mathematically identical to the reference's sparse gather/scatter (same
+selected rows, same values) but has zero dynamic shapes, zero scatters, and
+keeps every FLOP on the MXU. The actual "savings" of ProbSparse on modern
+accelerators is the *algorithmic* output structure (non-top-u rows = mean(V)),
+which we preserve; the compute-saving gathers it used on 2020-era GPUs are a
+pessimization on TPU.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def probsparse_u(n: int, factor: int = 5) -> int:
+    """u = min(factor * ceil(ln n), n)  (`attn.py:310-314`)."""
+    return min(int(factor * math.ceil(math.log(n))), n)
+
+
+def sample_indices(key: jax.Array, l_q: int, l_k: int, u_part: int) -> jnp.ndarray:
+    """[L_Q, U_part] random key indices in [0, L_K) shared across batch/head.
+
+    Reference `attn.py:91` (torch.randint(L_K, (L_Q, sample_k))).
+    """
+    return jax.random.randint(key, (l_q, u_part), 0, l_k, dtype=jnp.int32)
+
+
+def topu_row_mask(m: jnp.ndarray, u: int) -> jnp.ndarray:
+    """Boolean mask [..., N] marking the top-u entries of m along the last axis.
+
+    Scatter-free equivalent of `M.topk(u)[1]` + row indexing (`attn.py:122,
+    129-131`): top_k then one-hot-sum. Ties resolve by top_k order (first
+    occurrence), matching torch.topk's behavior on distinct values; exact ties
+    are measure-zero for float scores.
+    """
+    n = m.shape[-1]
+    _, idx = jax.lax.top_k(m, u)  # [..., u]
+    return jnp.sum(jax.nn.one_hot(idx, n, dtype=jnp.int32), axis=-2) > 0
+
+
+def probsparse_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    sample_idx: jnp.ndarray,
+    rel_pos_bias: Optional[jnp.ndarray] = None,
+    sw_mask: Optional[jnp.ndarray] = None,
+    factor: int = 5,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """ProbSparse attention over already-projected window tokens.
+
+    Args:
+      q, k, v: [B, H, N, D] (B = batch * num_windows, N = win² tokens).
+      sample_idx: [N, U_part] int32 sampled key columns (see sample_indices).
+      rel_pos_bias: [H, N, N] or None (ablation `use_rel_pos_bias=False`,
+        parity with reference `options.py:5`).
+      sw_mask: [nW, N, N] additive {0,-100} mask for shifted windows, or None.
+        B must be a multiple of nW (reference `attn.py:246-258`).
+      factor: ProbSparse factor c (default 5).
+      scale: score scale; default 1/sqrt(D) (`attn.py:327`).
+
+    Returns:
+      [B, H, N, D] context: top-u rows get double-softmax attention @ V, the
+      rest mean(V) along keys.
+    """
+    B, H, N, D = q.shape
+    if scale is None:
+        scale = 1.0 / math.sqrt(D)
+    u = probsparse_u(N, factor)
+
+    acc_t = jnp.float32
+    # Full scores on the MXU: [B, H, N, N]. (The reference computed a gathered
+    # subset; dense is faster on TPU and exactly contains the subset.)
+    scores = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=acc_t)
+
+    # Sparsity measurement M over sampled columns (`attn.py:104-117`):
+    # S^[i, j] = scores[i, sample_idx[i, j]].
+    samp = jnp.take_along_axis(
+        scores, sample_idx[None, None, :, :], axis=-1
+    )  # [B, H, N, U_part]
+    m = jnp.max(samp, axis=-1) - jnp.sum(samp, axis=-1) / N  # [B, H, N]
+    row_mask = topu_row_mask(m, u)  # [B, H, N] bool
+
+    # First softmax over scaled raw scores (`attn.py:195,327-329`).
+    attn = jax.nn.softmax(scores * scale, axis=-1)
+
+    # Bias added to softmaxed weights (`attn.py:229-230`), then SW mask rows
+    # (`attn.py:246-258`), then softmax AGAIN (`attn.py:262-264`).
+    if rel_pos_bias is not None:
+        attn = attn + rel_pos_bias[None].astype(acc_t)
+    if sw_mask is not None:
+        nW = sw_mask.shape[0]
+        attn = attn.reshape(B // nW, nW, H, N, N) + sw_mask[None, :, None].astype(acc_t)
+        attn = attn.reshape(B, H, N, N)
+    attn = jax.nn.softmax(attn, axis=-1)
+
+    ctx = jnp.einsum("bhnm,bhmd->bhnd", attn, v.astype(acc_t), preferred_element_type=acc_t)
+    v_mean = jnp.mean(v.astype(acc_t), axis=-2, keepdims=True)  # [B, H, 1, D]
+    out = jnp.where(row_mask[..., None], ctx, v_mean)
+    return out.astype(v.dtype)
+
+
+def full_window_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    rel_pos_bias: Optional[jnp.ndarray] = None,
+    sw_mask: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Dense W-MSA / SW-MSA (single softmax) — the reference's inactive
+    `My_model.py` WindowAttention.forward (`:428-518`) variant.
+
+    softmax(q·kᵀ·scale + bias + mask) @ v. Shapes as in probsparse_attention.
+    """
+    B, H, N, D = q.shape
+    if scale is None:
+        scale = 1.0 / math.sqrt(D)
+    acc_t = jnp.float32
+    scores = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=acc_t) * scale
+    if rel_pos_bias is not None:
+        scores = scores + rel_pos_bias[None].astype(acc_t)
+    if sw_mask is not None:
+        nW = sw_mask.shape[0]
+        scores = scores.reshape(B // nW, nW, H, N, N) + sw_mask[None, :, None].astype(
+            acc_t
+        )
+        scores = scores.reshape(B, H, N, N)
+    attn = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhnm,bhmd->bhnd", attn, v.astype(acc_t), preferred_element_type=acc_t)
+    return out.astype(v.dtype)

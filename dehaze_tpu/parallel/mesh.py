@@ -1,0 +1,48 @@
+"""Device mesh + sharding helpers.
+
+The reference's only parallelism is single-host multi-GPU
+`torch.nn.DataParallel` (`My_train.py:97`, replicate-model / scatter-batch /
+gather-output). The TPU-native equivalent is SPMD over a
+`jax.sharding.Mesh`:
+
+- 1-D `('data',)` mesh: batch dim sharded over ICI, params replicated; XLA
+  inserts the gradient all-reduce (psum) automatically when a jitted step
+  produces replicated outputs from sharded inputs.
+- the axis layout is DCN-extensible: pass `mesh_shape=(n_slices, chips)` and
+  axis names `('replica', 'data')` for multi-slice later; nothing else in the
+  framework changes because everything addresses shardings by axis *name*.
+
+Whole-image tiled inference shards the window/batch grid the same way —
+windows are embarrassingly parallel (SURVEY §5: no ring attention needed).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(num_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    """1-D data-parallel mesh over the first `num_devices` devices."""
+    devs = jax.devices()
+    if num_devices is not None:
+        devs = devs[:num_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dim across the mesh axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch, axis: str = "data"):
+    """Place a host batch (or pytree of arrays) with leading-dim sharding."""
+    sh = batch_sharding(mesh, axis)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)

@@ -1,0 +1,56 @@
+"""Checkpointing: {epoch, params, opt_state, best} msgpack files.
+
+Reference format: torch pickle `{'epoch', 'state_dict', 'optimizer'}`
+(`My_train.py:330-333`), loaders with `module.`-prefix tolerance
+(`utils/model_utils.py:28-77`), save-every-epoch + `model_best.pth`.
+
+Here: flax.serialization msgpack with the same logical contents. Per-epoch
+files `epoch_model_{e}.msgpack` + `model_best.msgpack`, plus a small JSON
+sidecar with metric history (the FFA `.pk` checkpoints embedded their metric
+history, `FFA_model/main.py:122-143` — the sidecar serves that role for all
+models).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+from flax import serialization
+
+
+def save_checkpoint(path: str, epoch: int, params: Any, opt_state: Any = None,
+                    extra: Optional[Dict] = None) -> None:
+    payload = {
+        "epoch": epoch,
+        "params": serialization.to_bytes(params),
+        "opt_state": serialization.to_bytes(opt_state) if opt_state is not None else b"",
+        "extra": json.dumps(extra or {}),
+    }
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(serialization.msgpack_serialize(payload))
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path: str, params_template: Any, opt_state_template: Any = None
+                    ) -> Tuple[int, Any, Any, Dict]:
+    """Returns (epoch, params, opt_state_or_None, extra)."""
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    params = serialization.from_bytes(params_template, payload["params"])
+    opt_state = None
+    if payload.get("opt_state") and opt_state_template is not None:
+        opt_state = serialization.from_bytes(opt_state_template, payload["opt_state"])
+    extra = json.loads(payload.get("extra", "{}"))
+    return int(payload["epoch"]), params, opt_state, extra
+
+
+def load_start_epoch(path: str) -> int:
+    """Epoch stored in a checkpoint (`utils/model_utils.py:67-70`)."""
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    return int(payload["epoch"])

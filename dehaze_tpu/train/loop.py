@@ -1,0 +1,138 @@
+"""The full training loop: epochs, eval 4×/epoch, best + per-epoch ckpts,
+resume, MixUp gating, logging.
+
+Reference flow: `My_train.py:196-342`. Differences are mechanical
+(TPU-native): batches prefetch to device, metrics computed on device, params
+donated through the jitted step, optional data-parallel mesh.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+
+from dehaze_tpu.config import Config
+from dehaze_tpu.data.pipeline import PairedFolder, prefetch_to_device, train_batches
+from dehaze_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
+from dehaze_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+from dehaze_tpu.train.trainer import Trainer
+from dehaze_tpu.utils.logging import RunLogger
+
+
+def _val_batches(folder: PairedFolder, ps: int, batch_size: int, seed: int = 0):
+    """Validation patches: center-crop val images to a fixed ps² so shapes are
+    static (the reference's val set is pre-cropped patch files; this handles
+    both pre-cropped and whole-image val dirs)."""
+    from dehaze_tpu.data.images import load_img
+
+    items_c, items_n = [], []
+    for c, n in zip(folder.clean_files, folder.noisy_files):
+        ci, ni = load_img(c), load_img(n)
+        h, w = ci.shape[:2]
+        if (h, w) != (ps, ps):
+            r = max((h - ps) // 2, 0)
+            s = max((w - ps) // 2, 0)
+            ci, ni = ci[r : r + ps, s : s + ps], ni[r : r + ps, s : s + ps]
+        items_c.append(ci)
+        items_n.append(ni)
+    batches = []
+    for i in range(0, len(items_c), batch_size):
+        bc = np.stack(items_c[i : i + batch_size])
+        bn = np.stack(items_n[i : i + batch_size])
+        batches.append((bc, bn))
+    return batches
+
+
+def fit(cfg: Config, log_dir: Optional[str] = None) -> Tuple[float, str]:
+    """Train per cfg; returns (best_psnr, best_ckpt_path)."""
+    t = cfg.train
+    d = cfg.data
+    log_dir = log_dir or os.path.join(t.save_dir, cfg.model.arch + t.env)
+    model_dir = os.path.join(log_dir, "models")
+    os.makedirs(model_dir, exist_ok=True)
+    logger = RunLogger(log_dir)
+    logger.text(str(cfg))
+
+    train_folder = PairedFolder(d.train_dir)
+    val_folder = PairedFolder(d.val_dir)
+    steps_per_epoch = max(1, -(-len(train_folder) // d.batch_size))
+
+    mesh = make_mesh(t.data_axis) if (t.data_axis or 0) > 1 else None
+    trainer = Trainer(cfg, steps_per_epoch, mesh=mesh)
+
+    rng = jax.random.PRNGKey(t.seed)
+    rng, init_rng = jax.random.split(rng)
+    sample = np.zeros((d.batch_size, d.train_ps, d.train_ps, 3), np.float32)
+    state = trainer.init_state(init_rng, sample[:1])
+
+    start_epoch = 1
+    if t.resume and t.pretrain_weights:
+        epoch, params, opt_state, _ = load_checkpoint(
+            t.pretrain_weights, state.params, state.opt_state
+        )
+        state = state.replace(params=params,
+                              opt_state=opt_state or state.opt_state)
+        start_epoch = epoch + 1
+        logger.text(f"==> Resuming from epoch {start_epoch}")
+
+    if mesh is not None:
+        state = jax.device_put(state, replicated(mesh))
+        bsh = batch_sharding(mesh)
+
+    val = _val_batches(val_folder, d.train_ps, d.batch_size)
+    psnr0, ssim0 = trainer.evaluate(state.params, iter(val))
+    logger.text(f"Input & GT  PSNR {psnr0:.4f} dB | SSIM {ssim0:.4f}")
+
+    best_psnr, best_epoch, best_iter = 0.0, 0, 0
+    eval_every = max(1, steps_per_epoch // t.evals_per_epoch)
+
+    for epoch in range(start_epoch, t.nepoch + 1):
+        t0 = time.time()
+        epoch_loss = 0.0
+        use_mixup = epoch > d.mixup_after_epoch
+        it = train_batches(
+            train_folder, batch_size=d.batch_size, patch_size=d.train_ps,
+            seed=t.seed, epoch=epoch, num_workers=d.num_workers,
+        )
+        it = prefetch_to_device(it)
+        for i, (clean, hazy) in enumerate(it):
+            if mesh is not None:
+                clean = jax.device_put(clean, bsh)
+                hazy = jax.device_put(hazy, bsh)
+            rng, step_rng = jax.random.split(rng)
+            state, metrics = trainer.train_step(
+                state, clean, hazy, step_rng, use_mixup=use_mixup
+            )
+            epoch_loss += float(metrics["loss"])
+
+            if (i + 1) % eval_every == 0:
+                psnr, ssim = trainer.evaluate(state.params, iter(val))
+                if psnr > best_psnr:
+                    best_psnr, best_epoch, best_iter = psnr, epoch, i
+                    save_checkpoint(
+                        os.path.join(model_dir, "model_best.msgpack"),
+                        epoch, state.params, state.opt_state,
+                        extra={"psnr": psnr, "ssim": ssim},
+                    )
+                logger.text(
+                    f"[Ep {epoch} it {i}] PSNR {psnr:.4f} | SSIM {ssim:.4f}"
+                    f" ---- [best Ep {best_epoch} it {best_iter}"
+                    f" PSNR {best_psnr:.4f}]"
+                )
+                logger.event("eval", epoch=epoch, iter=i, psnr=psnr, ssim=ssim)
+
+        logger.text(
+            f"Epoch {epoch}  time {time.time() - t0:.1f}s  loss {epoch_loss:.4f}"
+        )
+        logger.event("epoch", epoch=epoch, loss=epoch_loss,
+                     seconds=time.time() - t0)
+        save_checkpoint(
+            os.path.join(model_dir, f"epoch_model_{epoch}.msgpack"),
+            epoch, state.params, state.opt_state,
+        )
+
+    return best_psnr, os.path.join(model_dir, "model_best.msgpack")

@@ -1,0 +1,182 @@
+"""Training loop: AdamW + warmup-cosine, Charbonnier + CR loss, SPMD DP.
+
+Reference recipe (`Uformer_ProbSparse/My_train.py`): seeds 1234 (`:72-75`),
+AdamW lr 2e-4 wd 0.02 (`:90-92`), DataParallel (`:97`), warmup(3)+cosine
+(`:121-126`), Charbonnier + ContrastLoss (`:144-147`), MixUp after epoch 5
+(`:220-221`), AMP autocast + NativeScaler (`:205,224,249`), clamp to [0,1]
+(`:230`), weighted loss sum (`:238`), eval 4×/epoch (`:202,258-302`), best +
+per-epoch checkpoints (`:294-297,330-333`).
+
+TPU-native translation of the *mechanisms* (not the code):
+
+- DataParallel        → batch sharded over a 1-D ICI mesh inside one jitted
+                        step; XLA all-reduces grads (params replicated).
+- AMP + NativeScaler  → bf16 activations / f32 params & optimizer. bf16 has
+                        f32-range exponent, so no loss scaling is needed.
+- DataLoader workers  → thread-pool decode + double-buffered device prefetch.
+- per-image skimage   → on-device batched PSNR/SSIM (one device sync per val
+  metrics (`:278-283`)   sweep instead of two per image).
+- MixUp (host torch)  → jitted on-device mixup inside the step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any, Callable, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from dehaze_tpu.config import Config
+from dehaze_tpu.data.augment import mixup
+from dehaze_tpu.models import get_arch
+from dehaze_tpu.models import vgg as vgg_mod
+from dehaze_tpu.ops import losses as L
+from dehaze_tpu.ops import metrics as M
+from dehaze_tpu.train.schedule import lr_schedule_from_epoch_fn, make_epoch_lr
+
+
+@struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+
+def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransformation:
+    epoch_lr = make_epoch_lr(cfg.train)
+    sched = lr_schedule_from_epoch_fn(epoch_lr, steps_per_epoch)
+    t = cfg.train
+    if t.optimizer.lower() == "adam":
+        return optax.adam(sched, b1=t.beta1, b2=t.beta2, eps=t.eps)
+    return optax.adamw(
+        sched, b1=t.beta1, b2=t.beta2, eps=t.eps, weight_decay=t.weight_decay
+    )
+
+
+class Trainer:
+    """Owns model/vgg/optimizer and the jitted train/eval steps."""
+
+    def __init__(self, cfg: Config, steps_per_epoch: int, mesh=None):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.model = get_arch(cfg.model)
+        self.tx = make_optimizer(cfg, steps_per_epoch)
+
+        self.use_cr = cfg.loss.w_contrast > 0
+        self.vgg = None
+        self.vgg_params = None
+        if self.use_cr:
+            self.vgg = vgg_mod.make_cr_vgg(dtype=cfg.model.dtype)
+            if cfg.loss.vgg_weights:
+                self.vgg_params = vgg_mod.load_params_npz(self.vgg, cfg.loss.vgg_weights)
+            else:
+                self.vgg_params = vgg_mod.init_vgg_params(self.vgg, seed=0)
+
+        self._train_step = jax.jit(
+            self._train_step_impl, static_argnames=("use_mixup",), donate_argnums=(0,)
+        )
+        self._eval_step = jax.jit(self._eval_step_impl)
+
+    # ---------------------------------------------------------------- init
+    def init_state(self, rng: jax.Array, sample_batch: np.ndarray) -> TrainState:
+        x = jnp.asarray(sample_batch)
+        k1, k2 = jax.random.split(rng)
+
+        def init_fn():
+            variables = self.model.init(
+                {"params": k1, "sample": k2}, x, train=False
+            )
+            params = variables["params"]
+            return TrainState(
+                step=jnp.zeros((), jnp.int32),
+                params=params,
+                opt_state=self.tx.init(params),
+            )
+
+        return jax.jit(init_fn)()
+
+    # ----------------------------------------------------------- train step
+    def _train_step_impl(
+        self,
+        state: TrainState,
+        clean: jnp.ndarray,
+        hazy: jnp.ndarray,
+        rng: jax.Array,
+        *,
+        use_mixup: bool,
+    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        cfg = self.cfg
+        k_mix, k_sample, k_drop, k_dp = jax.random.split(rng, 4)
+        if use_mixup:
+            clean, hazy = mixup(k_mix, clean, hazy, cfg.data.mixup_beta)
+
+        def loss_fn(params):
+            restored = self.model.apply(
+                {"params": params},
+                hazy,
+                train=True,
+                rngs={"sample": k_sample, "dropout": k_drop, "droppath": k_dp},
+            )
+            restored = jnp.clip(restored, 0.0, 1.0)  # `My_train.py:230`
+            l_char = L.charbonnier_loss(restored, clean, cfg.loss.charbonnier_eps)
+            l_cr = jnp.float32(0.0)
+            all_ap = jnp.float32(0.0)
+            all_an = jnp.float32(0.0)
+            if self.use_cr:
+                feats = lambda im: self.vgg.apply(self.vgg_params, im)
+                a, p, n = feats(restored), feats(clean), feats(hazy)
+                l_cr, all_ap, all_an = L.contrast_loss_from_features(
+                    a, p, n,
+                    weights=cfg.loss.contrast_weights,
+                    ablation=cfg.loss.contrast_ablation,
+                )
+            loss = cfg.loss.w_charbonnier * l_char + cfg.loss.w_contrast * l_cr
+            return loss, {
+                "loss": loss, "charbonnier": l_char, "contrast": l_cr,
+                "all_ap": all_ap, "all_an": all_an,
+            }
+
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(step=state.step + 1, params=new_params, opt_state=new_opt),
+            metrics,
+        )
+
+    def train_step(self, state, clean, hazy, rng, use_mixup: bool):
+        return self._train_step(state, jnp.asarray(clean), jnp.asarray(hazy), rng,
+                                use_mixup=use_mixup)
+
+    # ------------------------------------------------------------ eval step
+    def _eval_step_impl(self, params, clean, hazy, rng):
+        restored = self.model.apply(
+            {"params": params}, hazy, train=False, rngs={"sample": rng}
+        )
+        restored = jnp.clip(restored, 0.0, 1.0)
+        return (
+            M.batch_psnr(restored, clean),
+            M.batch_ssim(restored, clean),
+            restored,
+        )
+
+    def evaluate(
+        self, params, batches: Iterator[Tuple[np.ndarray, np.ndarray]],
+        rng: Optional[jax.Array] = None,
+    ) -> Tuple[float, float]:
+        """Mean PSNR/SSIM over an iterator of (clean, hazy) batches."""
+        rng = jax.random.PRNGKey(0) if rng is None else rng
+        psnrs, ssims = [], []
+        for clean, hazy in batches:
+            p, s, _ = self._eval_step(params, jnp.asarray(clean), jnp.asarray(hazy), rng)
+            psnrs.append(np.asarray(p))
+            ssims.append(np.asarray(s))
+        return float(np.mean(np.concatenate(psnrs))), float(
+            np.mean(np.concatenate(ssims))
+        )

@@ -1,0 +1,54 @@
+"""Test env: CPU backend with 8 virtual devices (multi-chip simulation).
+
+The TPU-world substitute for multi-node testing without a cluster
+(SURVEY.md §4): XLA_FLAGS=--xla_force_host_platform_device_count=8.
+
+This environment force-registers a remote TPU backend ('axon') for every
+Python process via a sitecustomize on PYTHONPATH, initializing PJRT before
+conftest runs — env tweaks here would be too late. So if we detect that
+situation, re-exec pytest once with the axon path stripped and CPU forced;
+the suite then runs on the fast local CPU backend with exact f32 matmuls.
+"""
+
+import os
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _needs_reexec() -> bool:
+    if os.environ.get("DEHAZE_TPU_TEST_REEXEC"):
+        return False
+    if os.environ.get("DEHAZE_TPU_TEST_ON_TPU"):  # opt-in: run tests on TPU
+        return False
+    pythonpath = os.environ.get("PYTHONPATH", "")
+    return ".axon_site" in pythonpath or os.environ.get("JAX_PLATFORMS") == "axon"
+
+
+if _needs_reexec():
+    env = dict(os.environ)
+    env["DEHAZE_TPU_TEST_REEXEC"] = "1"
+    env["PYTHONPATH"] = _REPO
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    os.execve(sys.executable,
+              [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, _REPO)
+
+import jax  # noqa: E402
+
+# Parity tests compare against NumPy: make f32 matmuls exact. (The model's
+# hot path uses bf16 activations regardless of this default.)
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import dehaze_tpu  # noqa: E402,F401  (persistent compilation cache)

@@ -1,0 +1,83 @@
+"""Model-level tests (tiny geometry, shared so XLA cache amortizes)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dehaze_tpu.config import ModelConfig
+from dehaze_tpu.models import get_arch
+from dehaze_tpu.models.uformer import Uformer
+
+TINY = ModelConfig(img_size=32, embed_dim=8, dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def tiny_uformer():
+    model = Uformer(TINY)
+    k = jax.random.PRNGKey(0)
+    x = jnp.ones((2, 32, 32, 3)) * 0.5
+    variables = jax.jit(lambda: model.init({"params": k, "sample": k}, x))()
+    return model, variables
+
+
+def test_forward_shape_and_residual(tiny_uformer):
+    model, variables = tiny_uformer
+    k = jax.random.PRNGKey(1)
+    x = jnp.asarray(np.random.default_rng(0).uniform(size=(2, 32, 32, 3)),
+                    jnp.float32)
+    out = jax.jit(lambda x: model.apply(variables, x, rngs={"sample": k}))(x)
+    assert out.shape == x.shape
+    assert out.dtype == jnp.float32
+    assert np.isfinite(np.asarray(out)).all()
+    # global residual: output differs from input but is anchored to it
+    assert 0 < float(jnp.abs(out - x).mean()) < 1.0
+
+
+def test_forward_deterministic_given_rng(tiny_uformer):
+    model, variables = tiny_uformer
+    k = jax.random.PRNGKey(2)
+    x = jnp.ones((2, 32, 32, 3)) * 0.3
+    f = jax.jit(lambda x: model.apply(variables, x, rngs={"sample": k}))
+    o1, o2 = f(x), f(x)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+
+
+def test_param_structure(tiny_uformer):
+    _, variables = tiny_uformer
+    params = variables["params"]
+    # 4 encoders, bottleneck, 4 decoders, in/out proj, 4 down, 4 up
+    for name in ["input_proj", "output_proj", "bottleneck", "encoder_0",
+                 "encoder_3", "decoder_0", "decoder_3", "downsample_0",
+                 "upsample_3"]:
+        assert name in params, sorted(params.keys())
+    # probsparse attention has separate q/k/v/out projections (attn.py:377-381)
+    attn = params["encoder_0"]["block_0"]["attn"]
+    for p in ["query", "key", "value", "out", "relative_position_bias_table"]:
+        assert p in attn, sorted(attn.keys())
+    # bias table shape [(2w-1)^2, nH] with w=8, nH=1 for stage 0
+    assert attn["relative_position_bias_table"].shape == (225, 1)
+
+
+def test_rel_pos_bias_ablation_changes_params():
+    cfg = ModelConfig(img_size=32, embed_dim=8, dtype=jnp.float32,
+                      use_rel_pos_bias=False)
+    model = Uformer(cfg)
+    k = jax.random.PRNGKey(0)
+    x = jnp.ones((1, 32, 32, 3)) * 0.5
+    variables = jax.jit(lambda: model.init({"params": k, "sample": k}, x))()
+    attn = variables["params"]["encoder_0"]["block_0"]["attn"]
+    assert "relative_position_bias_table" not in attn
+
+
+def test_unet_and_ffa_forward():
+    k = jax.random.PRNGKey(0)
+    x = jnp.ones((1, 32, 32, 3)) * 0.4
+    for arch, kw in [("unet", dict(embed_dim=8)), ("ffa", dict(ffa_blocks=2,
+                                                               ffa_dim=16))]:
+        cfg = ModelConfig(arch=arch, dtype=jnp.float32, **kw)
+        m = get_arch(cfg)
+        variables = jax.jit(lambda m=m: m.init(k, x))()
+        out = jax.jit(lambda v, x, m=m: m.apply(v, x))(variables, x)
+        assert out.shape == x.shape
+        assert np.isfinite(np.asarray(out)).all()

@@ -1,0 +1,77 @@
+"""Multi-device SPMD tests on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from dehaze_tpu.parallel.mesh import batch_sharding, make_mesh, replicated, shard_batch
+
+needs_8 = pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+
+
+@needs_8
+def test_mesh_and_shardings():
+    mesh = make_mesh(8)
+    assert mesh.shape == {"data": 8}
+    x = np.arange(8 * 4, dtype=np.float32).reshape(8, 4)
+    xd = shard_batch(mesh, x)
+    assert xd.sharding.is_equivalent_to(batch_sharding(mesh), 2)
+    np.testing.assert_array_equal(np.asarray(xd), x)
+
+
+@needs_8
+def test_sharded_matmul_matches_single_device():
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(16, 32)).astype(np.float32)
+    w = rng.normal(size=(32, 8)).astype(np.float32)
+
+    f = jax.jit(lambda x, w: jnp.tanh(x @ w).sum(0))
+    expect = np.asarray(f(x, w))
+    xd = jax.device_put(x, batch_sharding(mesh))
+    wd = jax.device_put(w, replicated(mesh))
+    got = np.asarray(f(xd, wd))  # XLA inserts the psum over 'data'
+    np.testing.assert_allclose(got, expect, rtol=1e-5)
+
+
+@needs_8
+def test_dryrun_multichip_full_train_step():
+    """The driver-facing multi-chip path: full DP train step on 8 devices."""
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+@needs_8
+def test_dp_train_step_matches_single_device():
+    """Gradient all-reduce correctness: sharded batch == unsharded batch."""
+    from dehaze_tpu.config import Config, ModelConfig, LossConfig, replace
+    from dehaze_tpu.train.trainer import Trainer
+
+    cfg = replace(Config(), model=ModelConfig(img_size=32, embed_dim=8,
+                                              dtype=jnp.float32),
+                  loss=LossConfig(w_contrast=0.0))
+    trainer = Trainer(cfg, steps_per_epoch=1)
+    rng = np.random.default_rng(0)
+    clean = rng.uniform(size=(8, 32, 32, 3)).astype(np.float32)
+    hazy = np.clip(clean + 0.1, 0, 1).astype(np.float32)
+
+    key = jax.random.PRNGKey(0)
+    s0 = trainer.init_state(jax.random.PRNGKey(5), clean[:1])
+    s_single, m_single = trainer.train_step(s0, clean, hazy, key, use_mixup=False)
+
+    mesh = make_mesh(8)
+    s0b = trainer.init_state(jax.random.PRNGKey(5), clean[:1])
+    s0b = jax.device_put(s0b, replicated(mesh))
+    cd = jax.device_put(clean, batch_sharding(mesh))
+    hd = jax.device_put(hazy, batch_sharding(mesh))
+    s_multi, m_multi = trainer.train_step(s0b, cd, hd, key, use_mixup=False)
+
+    np.testing.assert_allclose(
+        float(m_single["loss"]), float(m_multi["loss"]), rtol=1e-5
+    )
+    for a, b in zip(jax.tree.leaves(s_single.params), jax.tree.leaves(s_multi.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-6)

@@ -1,0 +1,103 @@
+"""Train step: loss decreases, grads finite, mixup, eval metrics, checkpoint."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dehaze_tpu.config import Config, ModelConfig, LossConfig, replace
+from dehaze_tpu.data.augment import mixup
+from dehaze_tpu.train.checkpoint import load_checkpoint, load_start_epoch, save_checkpoint
+from dehaze_tpu.train.trainer import Trainer
+
+
+def tiny_config(w_contrast=0.0):
+    cfg = Config()
+    return replace(
+        cfg,
+        model=ModelConfig(img_size=32, embed_dim=8, dtype=jnp.float32),
+        loss=LossConfig(w_contrast=w_contrast),
+    )
+
+
+@pytest.fixture(scope="module")
+def batch():
+    rng = np.random.default_rng(0)
+    clean = rng.uniform(size=(4, 32, 32, 3)).astype(np.float32)
+    hazy = np.clip(clean * 0.7 + 0.25, 0, 1).astype(np.float32)
+    return clean, hazy
+
+
+def test_fixed_seed_training_regression(batch):
+    """Fixed-seed tiny train: loss decreases over a few steps (SURVEY §4)."""
+    clean, hazy = batch
+    trainer = Trainer(tiny_config(), steps_per_epoch=4)
+    state = trainer.init_state(jax.random.PRNGKey(1234), clean[:1])
+    losses = []
+    key = jax.random.PRNGKey(0)
+    for i in range(6):
+        key, sub = jax.random.split(key)
+        state, m = trainer.train_step(state, clean, hazy, sub, use_mixup=False)
+        losses.append(float(m["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 6
+
+
+def test_train_step_with_contrast_loss(batch):
+    clean, hazy = batch
+    trainer = Trainer(tiny_config(w_contrast=1.0), steps_per_epoch=4)
+    state = trainer.init_state(jax.random.PRNGKey(0), clean[:1])
+    state, m = trainer.train_step(state, clean, hazy, jax.random.PRNGKey(1),
+                                  use_mixup=False)
+    assert np.isfinite(float(m["loss"]))
+    assert float(m["contrast"]) > 0
+    assert float(m["all_ap"]) > 0 and float(m["all_an"]) > 0
+
+
+def test_mixup_convexity():
+    key = jax.random.PRNGKey(3)
+    rng = np.random.default_rng(1)
+    gt = jnp.asarray(rng.uniform(size=(6, 8, 8, 3)), jnp.float32)
+    hz = jnp.asarray(rng.uniform(size=(6, 8, 8, 3)), jnp.float32)
+    g2, h2 = mixup(key, gt, hz)
+    # outputs stay in the convex hull
+    assert float(g2.min()) >= float(gt.min()) - 1e-6
+    assert float(g2.max()) <= float(gt.max()) + 1e-6
+    # same λ applied to gt and hazy: mixing difference is the mix of diffs
+    d = np.asarray(h2 - g2)
+    assert np.isfinite(d).all()
+
+
+def test_eval_metrics(batch):
+    clean, hazy = batch
+    trainer = Trainer(tiny_config(), steps_per_epoch=1)
+    state = trainer.init_state(jax.random.PRNGKey(0), clean[:1])
+    psnr, ssim = trainer.evaluate(state.params, [(clean, hazy)])
+    assert np.isfinite(psnr) and np.isfinite(ssim)
+    assert 5 < psnr < 60
+    assert -1 <= ssim <= 1
+
+
+def test_checkpoint_roundtrip(tmp_path, batch):
+    clean, hazy = batch
+    trainer = Trainer(tiny_config(), steps_per_epoch=1)
+    state = trainer.init_state(jax.random.PRNGKey(0), clean[:1])
+    state, _ = trainer.train_step(state, clean, hazy, jax.random.PRNGKey(1),
+                                  use_mixup=False)
+    path = str(tmp_path / "ckpt.msgpack")
+    save_checkpoint(path, 7, state.params, state.opt_state,
+                    extra={"best_psnr": 12.5})
+    assert load_start_epoch(path) == 7
+    epoch, params, opt_state, extra = load_checkpoint(
+        path, state.params, state.opt_state
+    )
+    assert epoch == 7
+    assert extra["best_psnr"] == 12.5
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # optimizer state restored too (`utils/model_utils.py:72-77` parity)
+    for a, b in zip(jax.tree.leaves(opt_state), jax.tree.leaves(state.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
