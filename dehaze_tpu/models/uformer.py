@@ -62,13 +62,14 @@ class WindowAttention(nn.Module):
     factor: int = 5
     use_rel_pos_bias: bool = True
     qkv_bias: bool = True
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
         self,
         x: jnp.ndarray,  # [B_, N, C]  B_ = batch * num_windows
-        sw_mask: Optional[jnp.ndarray] = None,  # [nW, N, N] additive or None
+        sw_region: Optional[jnp.ndarray] = None,  # [nW, N] region ids or None
     ) -> jnp.ndarray:
         b, n, c = x.shape
         h = self.num_heads
@@ -98,13 +99,28 @@ class WindowAttention(nn.Module):
             )
             u_part = ps_ops.probsparse_u(n, self.factor)
             sample_idx = ps_ops.sample_indices(self.make_rng("sample"), n, n, u_part)
-            out = ps_ops.probsparse_attention(
-                q, k, v,
-                sample_idx=sample_idx,
-                rel_pos_bias=bias,
-                sw_mask=sw_mask,
-                factor=self.factor,
-            )
+            if self.use_pallas:
+                from dehaze_tpu.ops.pallas.window_attention import (
+                    probsparse_window_attention_pallas,
+                )
+
+                out = probsparse_window_attention_pallas(
+                    q, k, v,
+                    sample_idx=sample_idx,
+                    rel_pos_bias=bias,
+                    sw_region=sw_region,
+                    num_windows=sw_region.shape[0] if sw_region is not None
+                    else 1,
+                    factor=self.factor,
+                )
+            else:
+                out = ps_ops.probsparse_attention(
+                    q, k, v,
+                    sample_idx=sample_idx,
+                    rel_pos_bias=bias,
+                    sw_region=sw_region,
+                    factor=self.factor,
+                )
             out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
             return nn.Dense(c, kernel_init=trunc_init, dtype=self.dtype,
                             name="out")(out)
@@ -115,7 +131,7 @@ class WindowAttention(nn.Module):
         qkv = qkv.reshape(b, n, 3, h, d).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
         out = ps_ops.full_window_attention(
-            q, k, v, rel_pos_bias=bias, sw_mask=sw_mask
+            q, k, v, rel_pos_bias=bias, sw_region=sw_region
         )
         out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
         return nn.Dense(c, kernel_init=trunc_init, dtype=self.dtype, name="proj")(out)
@@ -142,6 +158,7 @@ class LeWinBlock(nn.Module):
     attention: str = "probsparse"
     factor: int = 5
     use_rel_pos_bias: bool = True
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -167,9 +184,11 @@ class LeWinBlock(nn.Module):
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         if shift > 0:
             y = win_ops.cyclic_shift(y, shift)
-            sw_mask = jnp.asarray(win_ops.shift_attn_mask(H, W, win, shift))
+            # compact [nW, N] region ids; the [nW, N, N] -100 mask is fused
+            # on the fly inside the attention op (see ops.window)
+            sw_region = jnp.asarray(win_ops.shift_region_ids(H, W, win, shift))
         else:
-            sw_mask = None
+            sw_region = None
 
         windows = win_ops.window_partition(y, win)  # [B*nW, N, C]
         attn_windows = WindowAttention(
@@ -180,9 +199,10 @@ class LeWinBlock(nn.Module):
             factor=self.factor,
             use_rel_pos_bias=self.use_rel_pos_bias,
             qkv_bias=self.qkv_bias,
+            use_pallas=self.use_pallas,
             dtype=self.dtype,
             name="attn",
-        )(windows, sw_mask)
+        )(windows, sw_region)
         y = win_ops.window_reverse(attn_windows, win, H, W)
         if shift > 0:
             y = win_ops.cyclic_unshift(y, shift)
@@ -218,6 +238,7 @@ class UformerStage(nn.Module):
     factor: int
     use_rel_pos_bias: bool
     use_shift: bool
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -238,6 +259,7 @@ class UformerStage(nn.Module):
                 attention=self.attention,
                 factor=self.factor,
                 use_rel_pos_bias=self.use_rel_pos_bias,
+                use_pallas=self.use_pallas,
                 dtype=self.dtype,
                 name=f"block_{i}",
             )(x, deterministic)
@@ -292,6 +314,7 @@ class Uformer(nn.Module):
                 factor=cfg.probsparse_factor,
                 use_rel_pos_bias=cfg.use_rel_pos_bias,
                 use_shift=cfg.use_shift,
+                use_pallas=cfg.use_pallas,
                 dtype=cfg.dtype,
                 name=name,
             )

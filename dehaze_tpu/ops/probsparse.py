@@ -36,6 +36,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from dehaze_tpu.ops.window import region_mask
+
 
 def probsparse_u(n: int, factor: int = 5) -> int:
     """u = min(factor * ceil(ln n), n)  (`attn.py:310-314`)."""
@@ -71,6 +73,7 @@ def probsparse_attention(
     sample_idx: jnp.ndarray,
     rel_pos_bias: Optional[jnp.ndarray] = None,
     sw_mask: Optional[jnp.ndarray] = None,
+    sw_region: Optional[jnp.ndarray] = None,
     factor: int = 5,
     scale: Optional[float] = None,
 ) -> jnp.ndarray:
@@ -83,6 +86,10 @@ def probsparse_attention(
         parity with reference `options.py:5`).
       sw_mask: [nW, N, N] additive {0,-100} mask for shifted windows, or None.
         B must be a multiple of nW (reference `attn.py:246-258`).
+      sw_region: [nW, N] int region ids — compact equivalent of sw_mask
+        (mask = -100 where regions differ); preferred at scale because the
+        pairwise compare fuses into the softmax input instead of storing
+        [nW, N, N] (see ops.window.shift_region_ids).
       factor: ProbSparse factor c (default 5).
       scale: score scale; default 1/sqrt(D) (`attn.py:327`).
 
@@ -115,6 +122,8 @@ def probsparse_attention(
     # (`attn.py:246-258`), then softmax AGAIN (`attn.py:262-264`).
     if rel_pos_bias is not None:
         attn = attn + rel_pos_bias[None].astype(acc_t)
+    if sw_region is not None and sw_mask is None:
+        sw_mask = region_mask(sw_region)
     if sw_mask is not None:
         nW = sw_mask.shape[0]
         attn = attn.reshape(B // nW, nW, H, N, N) + sw_mask[None, :, None].astype(acc_t)
@@ -134,6 +143,7 @@ def full_window_attention(
     *,
     rel_pos_bias: Optional[jnp.ndarray] = None,
     sw_mask: Optional[jnp.ndarray] = None,
+    sw_region: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
 ) -> jnp.ndarray:
     """Dense W-MSA / SW-MSA (single softmax) — the reference's inactive
@@ -148,6 +158,8 @@ def full_window_attention(
     scores = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=acc_t) * scale
     if rel_pos_bias is not None:
         scores = scores + rel_pos_bias[None].astype(acc_t)
+    if sw_region is not None and sw_mask is None:
+        sw_mask = region_mask(sw_region)
     if sw_mask is not None:
         nW = sw_mask.shape[0]
         scores = scores.reshape(B // nW, nW, H, N, N) + sw_mask[None, :, None].astype(

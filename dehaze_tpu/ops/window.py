@@ -79,29 +79,44 @@ def gather_rel_pos_bias(table: jnp.ndarray, win_h: int, win_w: int) -> jnp.ndarr
 
 
 @functools.lru_cache(maxsize=None)
-def shift_attn_mask(H: int, W: int, win: int, shift: int) -> np.ndarray:
-    """SW-MSA additive mask, [nW, N, N] float32 with values {0, -100}.
+def shift_region_ids(H: int, W: int, win: int, shift: int) -> np.ndarray:
+    """Per-token region ids for the SW-MSA mask, [nW, N] int32 (N = win²).
 
-    Matches the reference's 9-region construction (My_model_1.py:802-836):
-    tokens in the same region attend (0), cross-region pairs get -100.
-    Compile-time constant.
+    The reference materializes the full [nW, N, N] {0, -100} mask
+    (My_model_1.py:802-836) — 700+ MB of program constants on a 1664² canvas.
+    The mask is rank-deficient: mask[w, i, j] = -100 ⇔ region[w, i] ≠
+    region[w, j], so we store only the 9-region id per token (same 3×3 slice
+    construction) and let the attention op fuse the pairwise compare into the
+    softmax input. Identical values, O(nW·N) memory.
     """
     if shift == 0:
-        raise ValueError("shift_attn_mask is only defined for shift > 0")
-    img = np.zeros((1, H, W, 1), dtype=np.float32)
+        raise ValueError("shift_region_ids is only defined for shift > 0")
+    img = np.zeros((H, W), dtype=np.int32)
     h_slices = (slice(0, -win), slice(-win, -shift), slice(-shift, None))
     w_slices = (slice(0, -win), slice(-win, -shift), slice(-shift, None))
     cnt = 0
     for h in h_slices:
         for w in w_slices:
-            img[:, h, w, :] = cnt
+            img[h, w] = cnt
             cnt += 1
-    # partition (NumPy mirror of window_partition)
-    img = img.reshape(1, H // win, win, W // win, win, 1)
-    img = img.transpose(0, 1, 3, 2, 4, 5).reshape(-1, win * win)  # [nW, N]
-    diff = img[:, None, :] - img[:, :, None]  # [nW, N, N]
-    mask = np.where(diff != 0, -100.0, 0.0).astype(np.float32)
-    return mask
+    img = img.reshape(H // win, win, W // win, win)
+    img = img.transpose(0, 2, 1, 3).reshape(-1, win * win)  # [nW, N]
+    return np.ascontiguousarray(img)
+
+
+def region_mask(region: jnp.ndarray) -> jnp.ndarray:
+    """[..., N] region ids -> [..., N, N] additive {0, -100} mask (fusable)."""
+    diff = region[..., None, :] != region[..., :, None]
+    return jnp.where(diff, jnp.float32(-100.0), jnp.float32(0.0))
+
+
+@functools.lru_cache(maxsize=None)
+def shift_attn_mask(H: int, W: int, win: int, shift: int) -> np.ndarray:
+    """Full [nW, N, N] {0, -100} mask (reference layout) — for tests/tools;
+    the model uses shift_region_ids + on-the-fly region_mask instead."""
+    region = shift_region_ids(H, W, win, shift)
+    diff = region[:, None, :] - region[:, :, None]
+    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
 
 
 def cyclic_shift(x: jnp.ndarray, shift: int) -> jnp.ndarray:

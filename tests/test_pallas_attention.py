@@ -1,0 +1,92 @@
+"""Pallas fused window attention vs the jnp reference (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dehaze_tpu.ops import probsparse as PS
+from dehaze_tpu.ops.pallas.window_attention import (
+    probsparse_window_attention_pallas,
+    sample_count_matrix,
+)
+
+
+def _data(B, H, N, D, seed=0):
+    rng = np.random.default_rng(seed)
+    q = rng.normal(size=(B, H, N, D)).astype(np.float32)
+    k = rng.normal(size=(B, H, N, D)).astype(np.float32)
+    v = rng.normal(size=(B, H, N, D)).astype(np.float32)
+    si = rng.integers(0, N, size=(N, PS.probsparse_u(N))).astype(np.int32)
+    return jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(si)
+
+
+def test_sample_count_matrix():
+    si = jnp.asarray([[0, 0, 2], [1, 1, 1]], jnp.int32)
+    cnt = np.asarray(sample_count_matrix(si, 4))
+    np.testing.assert_array_equal(cnt, [[2, 0, 1, 0], [0, 3, 0, 0]])
+
+
+@pytest.mark.parametrize("with_bias", [False, True])
+def test_pallas_matches_jnp(with_bias):
+    B, H, N, D = 4, 2, 64, 32
+    q, k, v, si = _data(B, H, N, D)
+    rng = np.random.default_rng(1)
+    bias = (jnp.asarray(rng.normal(size=(H, N, N)).astype(np.float32))
+            if with_bias else None)
+    expect = PS.probsparse_attention(q, k, v, sample_idx=si, rel_pos_bias=bias)
+    got = probsparse_window_attention_pallas(
+        q, k, v, sample_idx=si, rel_pos_bias=bias, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_matches_jnp_with_sw_mask():
+    B, H, N, D = 6, 2, 64, 32  # 3 images x 2 windows
+    nW = 2
+    q, k, v, si = _data(B, H, N, D, seed=2)
+    rng = np.random.default_rng(3)
+    bias = jnp.asarray(rng.normal(size=(H, N, N)).astype(np.float32))
+    region = jnp.asarray(rng.integers(0, 9, size=(nW, N)).astype(np.int32))
+    expect = PS.probsparse_attention(q, k, v, sample_idx=si,
+                                     rel_pos_bias=bias, sw_region=region)
+    got = probsparse_window_attention_pallas(
+        q, k, v, sample_idx=si, rel_pos_bias=bias, sw_region=region,
+        num_windows=nW, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_bf16_inputs():
+    B, H, N, D = 2, 1, 64, 32
+    q, k, v, si = _data(B, H, N, D, seed=4)
+    q, k, v = q.astype(jnp.bfloat16), k.astype(jnp.bfloat16), v.astype(jnp.bfloat16)
+    expect = PS.probsparse_attention(q, k, v, sample_idx=si)
+    got = probsparse_window_attention_pallas(q, k, v, sample_idx=si,
+                                             interpret=True)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(expect, np.float32),
+        rtol=2e-2, atol=2e-2)
+
+
+def test_model_with_pallas_matches_jnp_path():
+    """Full Uformer forward: use_pallas=True (interpreted) == jnp path."""
+    from dehaze_tpu.config import ModelConfig
+    from dehaze_tpu.models.uformer import Uformer
+
+    k = jax.random.PRNGKey(0)
+    x = jnp.asarray(np.random.default_rng(0).uniform(size=(1, 32, 32, 3)),
+                    jnp.float32)
+    cfg = ModelConfig(img_size=32, embed_dim=8, dtype=jnp.float32)
+    m_ref = Uformer(cfg)
+    variables = jax.jit(lambda: m_ref.init({"params": k, "sample": k}, x))()
+    out_ref = m_ref.apply(variables, x, rngs={"sample": k})
+
+    from dehaze_tpu.config import replace
+    m_pal = Uformer(replace(cfg, use_pallas=True))
+    out_pal = m_pal.apply(variables, x, rngs={"sample": k})
+    np.testing.assert_allclose(np.asarray(out_pal), np.asarray(out_ref),
+                               rtol=5e-5, atol=5e-5)
