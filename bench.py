@@ -40,7 +40,9 @@ ITERS = 8
 
 
 def main():
-    cfg = ModelConfig(img_size=PS, embed_dim=32, dtype=jnp.bfloat16)
+    use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
+    cfg = ModelConfig(img_size=PS, embed_dim=32, dtype=jnp.bfloat16,
+                      use_pallas=use_pallas)
     model = Uformer(cfg)
     key = jax.random.PRNGKey(0)
 
@@ -80,6 +82,7 @@ def main():
                 "unit": "Mpix/s",
                 "vs_baseline": round(mpix_s / BASELINE_REF_MPIXPS, 3),
                 "sec_per_frame": round(dt, 4),
+                "pallas": use_pallas,
                 "device": str(jax.devices()[0]),
             }
         )

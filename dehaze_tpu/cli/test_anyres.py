@@ -1,0 +1,66 @@
+"""Arbitrary-resolution evaluation (≙ `test_in_any_resolution.py`).
+
+    python -m dehaze_tpu.cli.test_anyres --input_dir .../test \
+        --weights .../model_best.msgpack
+"""
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dehaze_tpu.cli.common import add_common_args, config_from_args
+from dehaze_tpu.data.images import save_img
+from dehaze_tpu.data.pipeline import PairedFolder, val_images
+from dehaze_tpu.infer.anyres import make_anyres_fn
+from dehaze_tpu.models import get_arch
+from dehaze_tpu.ops import metrics as M
+from dehaze_tpu.train.checkpoint import load_checkpoint
+
+
+def main():
+    p = add_common_args(argparse.ArgumentParser(description="any-res eval"))
+    p.add_argument("--input_dir", required=True)
+    p.add_argument("--weights", required=True)
+    p.add_argument("--result_dir", default="./results/anyres")
+    p.add_argument("--save_images", action="store_true", default=True)
+    args = p.parse_args()
+    cfg = config_from_args(args)
+
+    model = get_arch(cfg.model)
+    key = jax.random.PRNGKey(0)
+    probe = jnp.zeros((1, args.train_ps, args.train_ps, 3), jnp.float32)
+    variables = jax.jit(
+        lambda: model.init({"params": key, "sample": key}, probe)
+    )()
+    _, params, _, _ = load_checkpoint(args.weights, variables["params"])
+    variables = {"params": params}
+
+    def apply_fn(x, pad):
+        return model.apply(variables, x, train=False, pad_mask=pad,
+                           rngs={"sample": key})
+
+    factor = cfg.model.win_size * 16
+    os.makedirs(args.result_dir, exist_ok=True)
+    run, geom = None, None
+    psnrs, ssims = [], []
+    for clean, hazy, name in val_images(PairedFolder(args.input_dir)):
+        h, w = hazy.shape[:2]
+        if geom != (h, w):
+            run = make_anyres_fn(apply_fn, h, w, factor)
+            geom = (h, w)
+        out = np.asarray(run(jnp.asarray(hazy)[None])[0])
+        psnr = float(M.psnr(jnp.asarray(out), jnp.asarray(clean)))
+        ssim = float(M.ssim(jnp.asarray(out), jnp.asarray(clean)))
+        psnrs.append(psnr)
+        ssims.append(ssim)
+        print(f"{name}: PSNR {psnr:.4f} SSIM {ssim:.4f}", flush=True)
+        if args.save_images:
+            save_img(os.path.join(args.result_dir, name), out)
+    print(f"PSNR: {np.mean(psnrs):.6f}, SSIM: {np.mean(ssims):.6f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -70,6 +70,7 @@ class WindowAttention(nn.Module):
         self,
         x: jnp.ndarray,  # [B_, N, C]  B_ = batch * num_windows
         sw_region: Optional[jnp.ndarray] = None,  # [nW, N] region ids or None
+        pad_flag: Optional[jnp.ndarray] = None,  # [nW, N] padding flags
     ) -> jnp.ndarray:
         b, n, c = x.shape
         h = self.num_heads
@@ -99,7 +100,7 @@ class WindowAttention(nn.Module):
             )
             u_part = ps_ops.probsparse_u(n, self.factor)
             sample_idx = ps_ops.sample_indices(self.make_rng("sample"), n, n, u_part)
-            if self.use_pallas:
+            if self.use_pallas and pad_flag is None:
                 from dehaze_tpu.ops.pallas.window_attention import (
                     probsparse_window_attention_pallas,
                 )
@@ -119,6 +120,7 @@ class WindowAttention(nn.Module):
                     sample_idx=sample_idx,
                     rel_pos_bias=bias,
                     sw_region=sw_region,
+                    pad_flag=pad_flag,
                     factor=self.factor,
                 )
             out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
@@ -131,7 +133,7 @@ class WindowAttention(nn.Module):
         qkv = qkv.reshape(b, n, 3, h, d).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
         out = ps_ops.full_window_attention(
-            q, k, v, rel_pos_bias=bias, sw_region=sw_region
+            q, k, v, rel_pos_bias=bias, sw_region=sw_region, pad_flag=pad_flag
         )
         out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
         return nn.Dense(c, kernel_init=trunc_init, dtype=self.dtype, name="proj")(out)
@@ -162,7 +164,8 @@ class LeWinBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True,
+                 pad_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         B, H, W, C = x.shape
         # Window/shift collapse is decided by the CONFIGURED stage resolution
         # (`My_model_1.py:764-766` uses construction-time input_resolution),
@@ -190,6 +193,15 @@ class LeWinBlock(nn.Module):
         else:
             sw_region = None
 
+        pad_flag = None
+        if pad_mask is not None:
+            # input-mask path (`My_model_1.py:791-798` / test_in_any_resolution):
+            # nearest-resize the full-res padding mask to this stage and window
+            # it. Quirk preserved: the mask is NOT cyclically shifted even for
+            # SW blocks (the reference builds it from unshifted coords).
+            pm = jax.image.resize(pad_mask, (1, H, W, 1), method="nearest")
+            pad_flag = win_ops.window_partition(pm, win)[..., 0]  # [nW, N]
+
         windows = win_ops.window_partition(y, win)  # [B*nW, N, C]
         attn_windows = WindowAttention(
             dim=C,
@@ -202,7 +214,7 @@ class LeWinBlock(nn.Module):
             use_pallas=self.use_pallas,
             dtype=self.dtype,
             name="attn",
-        )(windows, sw_region)
+        )(windows, sw_region, pad_flag)
         y = win_ops.window_reverse(attn_windows, win, H, W)
         if shift > 0:
             y = win_ops.cyclic_unshift(y, shift)
@@ -242,7 +254,8 @@ class UformerStage(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True,
+                 pad_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         for i in range(self.depth):
             shift = 0 if (i % 2 == 0 or not self.use_shift) else self.win_size // 2
             x = LeWinBlock(
@@ -262,7 +275,7 @@ class UformerStage(nn.Module):
                 use_pallas=self.use_pallas,
                 dtype=self.dtype,
                 name=f"block_{i}",
-            )(x, deterministic)
+            )(x, deterministic, pad_mask)
         return x
 
 
@@ -277,7 +290,8 @@ class Uformer(nn.Module):
     cfg: ModelConfig
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 pad_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         cfg = self.cfg
         det = not train
         depths, heads = cfg.depths, cfg.num_heads
@@ -326,7 +340,7 @@ class Uformer(nn.Module):
         start = 0
         for i in range(n_enc):
             y = stage(f"encoder_{i}", dim, res, i, enc_dpr[start : start + depths[i]])(
-                y, det
+                y, det, pad_mask
             )
             skips.append(y)
             y = Downsample(dim * 2, dtype=cfg.dtype, name=f"downsample_{i}")(y)
@@ -335,7 +349,7 @@ class Uformer(nn.Module):
             start += depths[i]
 
         # Bottleneck
-        y = stage("bottleneck", dim, res, 4, conv_dpr)(y, det)
+        y = stage("bottleneck", dim, res, 4, conv_dpr)(y, det, pad_mask)
 
         # Decoder
         dstart = 0
@@ -348,7 +362,7 @@ class Uformer(nn.Module):
             res *= 2
             y = stage(
                 f"decoder_{i}", dim, res, idx, dec_dpr[dstart : dstart + depths[idx]]
-            )(y, det)
+            )(y, det, pad_mask)
             dstart += depths[idx]
             dim = up_dim  # next upsample halves this again (concat dim = 2*up_dim)
 

@@ -6,8 +6,9 @@ One kernel fuses the whole per-window attention chain from
 selection → softmax → +bias(+SW-mask) → softmax → @V → mean(V) fill. XLA's
 fusion cannot cover this chain because of the take_along_axis / top_k in the
 middle; unfused, the [B, H, 64, 64] score and attention tensors round-trip
-HBM twice (~700 MB per stage-0 pass on a 1664² canvas). The kernel keeps all
-intermediates in VMEM: HBM traffic is exactly q/k/v in + context out.
+HBM several times (~700 MB per stage-0 pass on a 1664² canvas). The kernel
+keeps all intermediates in VMEM: HBM traffic is exactly q/k/v in + context
+out.
 
 TPU-native reformulations inside the kernel (no gather, no sort):
 
@@ -19,10 +20,13 @@ TPU-native reformulations inside the kernel (no gather, no sort):
   lax.top_k / torch.topk first-occurrence order):
       rank[i] = Σ_j [ M[j] > M[i]  or  (M[j] = M[i] and j < i) ]
       selected[i] ⇔ rank[i] < u
+- the SW mask arrives as [nW, N] region ids (see ops.window.shift_region_ids)
+  and becomes a pairwise compare in VMEM.
 
-Grid: (batch, num_windows, heads); the SW mask block rides the window
-coordinate and the rel-pos bias block the head coordinate via BlockSpec index
-maps — no dynamic indexing in the kernel body.
+Grid: (batch, window-tiles, heads) with WTILE windows per step (batched MXU
+dots); the region block rides the window coordinate and the rel-pos bias
+block the head coordinate via BlockSpec index maps — no dynamic indexing in
+the kernel body.
 """
 
 from __future__ import annotations
@@ -46,56 +50,69 @@ def sample_count_matrix(sample_idx: jnp.ndarray, n: int) -> jnp.ndarray:
     return one_hot.sum(axis=1)
 
 
+def _pick_wtile(n_windows: int, cap: int = 16) -> int:
+    for wt in range(min(cap, n_windows), 0, -1):
+        if n_windows % wt == 0:
+            return wt
+    return 1
+
+
 def _kernel(q_ref, k_ref, v_ref, cnt_ref, bias_ref, region_ref, out_ref, *,
             u: int, scale: float, use_bias: bool, use_mask: bool):
+    # blocks: q/k/v/out [1, WT, 1, N, D]; cnt [N, N]; bias [1, N, N];
+    # region [WT, N]
     n = q_ref.shape[-2]
-    q = q_ref[0, 0, 0].astype(jnp.float32)  # [N, D]
-    k = k_ref[0, 0, 0].astype(jnp.float32)
-    v = v_ref[0, 0, 0].astype(jnp.float32)
+    q = q_ref[0, :, 0].astype(jnp.float32)  # [WT, N, D]
+    k = k_ref[0, :, 0].astype(jnp.float32)
+    v = v_ref[0, :, 0].astype(jnp.float32)
 
+    # scores[w] = q[w] @ k[w]^T  — batched MXU dot, [WT, N, N]
     scores = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [N, N] = q @ k^T
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
 
     # sparsity measure from sampled columns (gather-free)
-    cnt = cnt_ref[:]  # [N, N]
+    cnt = cnt_ref[:]  # [N, N], broadcast over WT
     neg = jnp.float32(-1e30)
-    m_max = jnp.max(jnp.where(cnt > 0, scores, neg), axis=1)  # [N]
-    m_sum = jnp.sum(scores * cnt, axis=1)  # [N]
+    m_max = jnp.max(jnp.where(cnt[None] > 0, scores, neg), axis=2)  # [WT, N]
+    m_sum = jnp.sum(scores * cnt[None], axis=2)  # [WT, N]
     m = m_max - m_sum / n  # attn.py:117 divides by L_K
 
     # lexicographic rank -> top-u row mask (no sort)
-    mi = m[:, None]  # [N, 1]
-    mj = m[None, :]  # [1, N]
-    i_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-    j_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    mi = m[:, :, None]  # [WT, N, 1]
+    mj = m[:, None, :]  # [WT, 1, N]
+    i_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)[None]
+    j_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)[None]
     beats = (mj > mi) | ((mj == mi) & (j_ids < i_ids))
-    rank = jnp.sum(beats.astype(jnp.int32), axis=1)  # [N]
-    selected = rank < u  # [N]
+    rank = jnp.sum(beats.astype(jnp.int32), axis=2)  # [WT, N]
+    selected = rank < u
 
     # first softmax over scaled raw scores (attn.py:195)
     s = scores * scale
-    s = s - jnp.max(s, axis=1, keepdims=True)
+    s = s - jnp.max(s, axis=2, keepdims=True)
     e = jnp.exp(s)
-    attn = e / jnp.sum(e, axis=1, keepdims=True)
+    attn = e / jnp.sum(e, axis=2, keepdims=True)
 
-    # + bias (+ SW mask), second softmax (attn.py:229-264)
+    # + bias (+ SW mask from region ids), second softmax (attn.py:229-264)
     if use_bias:
-        attn = attn + bias_ref[0].astype(jnp.float32)
+        attn = attn + bias_ref[:].astype(jnp.float32)  # [1, N, N] broadcasts
     if use_mask:
-        reg = region_ref[0]  # [N] int32 region ids for this window
-        attn = attn + jnp.where(reg[None, :] != reg[:, None],
-                                jnp.float32(-100.0), jnp.float32(0.0))
-    attn = attn - jnp.max(attn, axis=1, keepdims=True)
+        reg = region_ref[:]  # [WT, N] int32
+        attn = attn + jnp.where(
+            reg[:, None, :] != reg[:, :, None],
+            jnp.float32(-100.0), jnp.float32(0.0),
+        )
+    attn = attn - jnp.max(attn, axis=2, keepdims=True)
     e2 = jnp.exp(attn)
-    attn = e2 / jnp.sum(e2, axis=1, keepdims=True)
+    attn = e2 / jnp.sum(e2, axis=2, keepdims=True)
 
+    # ctx[w] = attn[w] @ v[w], batched MXU dot
     ctx = jax.lax.dot_general(
-        attn, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [N, D]
-    v_mean = jnp.mean(v, axis=0, keepdims=True)  # [1, D]
-    out = jnp.where(selected[:, None], ctx, v_mean)
-    out_ref[0, 0, 0] = out.astype(out_ref.dtype)
+        attn, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )  # [WT, N, D]
+    v_mean = jnp.mean(v, axis=1, keepdims=True)  # [WT, 1, D]
+    out = jnp.where(selected[:, :, None], ctx, v_mean)
+    out_ref[0, :, 0] = out.astype(out_ref.dtype)
 
 
 def probsparse_window_attention_pallas(
@@ -110,6 +127,7 @@ def probsparse_window_attention_pallas(
     factor: int = 5,
     scale: Optional[float] = None,
     interpret: Optional[bool] = None,
+    wtile_cap: int = 16,
 ) -> jnp.ndarray:
     """Drop-in fused equivalent of `probsparse_attention`.
 
@@ -128,28 +146,26 @@ def probsparse_window_attention_pallas(
     u = probsparse_u(N, factor)
     use_mask = sw_region is not None
     use_bias = rel_pos_bias is not None
-    nW = num_windows if use_mask else 1
+    nW = num_windows if use_mask else _pick_wtile(B, cap=64)
     nB = B // nW
+    wt = _pick_wtile(nW, cap=wtile_cap)
 
     qg = q.reshape(nB, nW, H, N, D)
     kg = k.reshape(nB, nW, H, N, D)
     vg = v.reshape(nB, nW, H, N, D)
     cnt = sample_count_matrix(sample_idx, N)
-    bias = rel_pos_bias if use_bias else jnp.zeros((1, N, N), q.dtype)
-    if not use_bias:
-        bias_index = lambda b, w, h: (0, 0, 0)
-    else:
-        bias_index = lambda b, w, h: (h, 0, 0)
+    bias = rel_pos_bias if use_bias else jnp.zeros((1, N, N), jnp.float32)
+    bias_index = (lambda b, w, h: (h, 0, 0)) if use_bias else (
+        lambda b, w, h: (0, 0, 0))
     region = (sw_region.astype(jnp.int32) if use_mask
-              else jnp.zeros((1, N), jnp.int32))
-    mask_index = (lambda b, w, h: (w, 0)) if use_mask else (
-        lambda b, w, h: (0, 0))
+              else jnp.zeros((nW, N), jnp.int32))
+    region_index = lambda b, w, h: (w, 0)
 
     qkv_spec = pl.BlockSpec(
-        (1, 1, 1, N, D), lambda b, w, h: (b, w, h, 0, 0),
+        (1, wt, 1, N, D), lambda b, w, h: (b, w, h, 0, 0),
         memory_space=pltpu.VMEM,
     )
-    grid = (nB, nW, H)
+    grid = (nB, nW // wt, H)
     kernel = functools.partial(
         _kernel, u=u, scale=scale, use_bias=use_bias, use_mask=use_mask
     )
@@ -161,7 +177,7 @@ def probsparse_window_attention_pallas(
             pl.BlockSpec((N, N), lambda b, w, h: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N, N), bias_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N), mask_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((wt, N), region_index, memory_space=pltpu.VMEM),
         ],
         out_specs=qkv_spec,
         out_shape=jax.ShapeDtypeStruct((nB, nW, H, N, D), v.dtype),

@@ -74,6 +74,7 @@ def probsparse_attention(
     rel_pos_bias: Optional[jnp.ndarray] = None,
     sw_mask: Optional[jnp.ndarray] = None,
     sw_region: Optional[jnp.ndarray] = None,
+    pad_flag: Optional[jnp.ndarray] = None,
     factor: int = 5,
     scale: Optional[float] = None,
 ) -> jnp.ndarray:
@@ -90,6 +91,10 @@ def probsparse_attention(
         (mask = -100 where regions differ); preferred at scale because the
         pairwise compare fuses into the softmax input instead of storing
         [nW, N, N] (see ops.window.shift_region_ids).
+      pad_flag: [nW, N] bool/0-1 padding flags (input-mask path of
+        `test_in_any_resolution.py` / `My_model_1.py:791-798`): pairs where
+        BOTH tokens are padding get -100 (the reference's m⊗m product mask —
+        quirk preserved: padding→valid attention is NOT blocked).
       factor: ProbSparse factor c (default 5).
       scale: score scale; default 1/sqrt(D) (`attn.py:327`).
 
@@ -124,13 +129,24 @@ def probsparse_attention(
         attn = attn + rel_pos_bias[None].astype(acc_t)
     if sw_region is not None and sw_mask is None:
         sw_mask = region_mask(sw_region)
+    if pad_flag is not None:
+        pf = pad_flag.astype(jnp.float32)
+        pad_mask = jnp.where((pf[:, None, :] * pf[:, :, None]) != 0,
+                             jnp.float32(-100.0), jnp.float32(0.0))
+        sw_mask = pad_mask if sw_mask is None else sw_mask + pad_mask
     if sw_mask is not None:
         nW = sw_mask.shape[0]
         attn = attn.reshape(B // nW, nW, H, N, N) + sw_mask[None, :, None].astype(acc_t)
         attn = attn.reshape(B, H, N, N)
     attn = jax.nn.softmax(attn, axis=-1)
 
-    ctx = jnp.einsum("bhnm,bhmd->bhnd", attn, v.astype(acc_t), preferred_element_type=acc_t)
+    # PV in the input dtype (bf16 on the hot path): the MXU multiplies bf16
+    # natively with f32 accumulation; the reference's AMP autocast ran this
+    # matmul in fp16 (`My_train.py:224`), so reduced precision here is
+    # *more* faithful than f32×f32 (which is also 8x slower on the MXU).
+    ctx = jnp.einsum(
+        "bhnm,bhmd->bhnd", attn.astype(v.dtype), v, preferred_element_type=acc_t
+    )
     v_mean = jnp.mean(v.astype(acc_t), axis=-2, keepdims=True)  # [B, H, 1, D]
     out = jnp.where(row_mask[..., None], ctx, v_mean)
     return out.astype(v.dtype)
@@ -144,6 +160,7 @@ def full_window_attention(
     rel_pos_bias: Optional[jnp.ndarray] = None,
     sw_mask: Optional[jnp.ndarray] = None,
     sw_region: Optional[jnp.ndarray] = None,
+    pad_flag: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
 ) -> jnp.ndarray:
     """Dense W-MSA / SW-MSA (single softmax) — the reference's inactive
@@ -160,6 +177,11 @@ def full_window_attention(
         scores = scores + rel_pos_bias[None].astype(acc_t)
     if sw_region is not None and sw_mask is None:
         sw_mask = region_mask(sw_region)
+    if pad_flag is not None:
+        pf = pad_flag.astype(jnp.float32)
+        pad_mask = jnp.where((pf[:, None, :] * pf[:, :, None]) != 0,
+                             jnp.float32(-100.0), jnp.float32(0.0))
+        sw_mask = pad_mask if sw_mask is None else sw_mask + pad_mask
     if sw_mask is not None:
         nW = sw_mask.shape[0]
         scores = scores.reshape(B // nW, nW, H, N, N) + sw_mask[None, :, None].astype(
@@ -167,5 +189,7 @@ def full_window_attention(
         )
         scores = scores.reshape(B, H, N, N)
     attn = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bhnm,bhmd->bhnd", attn, v.astype(acc_t), preferred_element_type=acc_t)
+    out = jnp.einsum(
+        "bhnm,bhmd->bhnd", attn.astype(v.dtype), v, preferred_element_type=acc_t
+    )
     return out.astype(v.dtype)
