@@ -1,0 +1,114 @@
+"""Extended benchmark suite (beyond the driver-facing bench.py single line).
+
+Measures, on the current backend:
+- whole-image forward (the published 1664² protocol) — jnp and pallas paths
+- patch forward (batch 32 × 128², the training shape)
+- full training step (fwd+bwd+optimizer, Charbonnier loss)
+
+    python -m dehaze_tpu.cli.bench_suite [--modes fwd_whole,fwd_patch,train]
+        [--pallas] [--profile /tmp/trace]
+
+`--profile` wraps the timed region in jax.profiler.trace (the reference's
+analog was torchstat + wall-clock prints; SURVEY §5 tracing).
+"""
+
+import argparse
+import contextlib
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dehaze_tpu.config import Config, LossConfig, ModelConfig, replace
+from dehaze_tpu.infer.tiled import make_whole_image_fn
+from dehaze_tpu.models.uformer import Uformer
+
+
+def timeit(fn, *args, warmup=2, iters=5):
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--modes", default="fwd_whole,fwd_patch,train")
+    p.add_argument("--pallas", action="store_true")
+    p.add_argument("--embed_dim", type=int, default=32)
+    p.add_argument("--profile", default=None)
+    p.add_argument("--whole_hw", default="1200x1600")
+    args = p.parse_args()
+    modes = args.modes.split(",")
+
+    cfg = ModelConfig(img_size=128, embed_dim=args.embed_dim,
+                      dtype=jnp.bfloat16, use_pallas=args.pallas)
+    model = Uformer(cfg)
+    key = jax.random.PRNGKey(0)
+    probe = jnp.zeros((1, 128, 128, 3), jnp.float32)
+    variables = jax.jit(
+        lambda: model.init({"params": key, "sample": key}, probe)
+    )()
+
+    def apply_fn(x):
+        return model.apply(variables, x, train=False, rngs={"sample": key})
+
+    prof = (jax.profiler.trace(args.profile) if args.profile
+            else contextlib.nullcontext())
+    results = []
+    with prof:
+        if "fwd_whole" in modes:
+            h, w = (int(s) for s in args.whole_hw.split("x"))
+            run = make_whole_image_fn(apply_fn, h, w, 128)
+            img = jnp.asarray(np.random.default_rng(0).uniform(
+                size=(1, h, w, 3)).astype(np.float32))
+            dt = timeit(run, img)
+            results.append({"mode": "fwd_whole", "sec": round(dt, 4),
+                            "mpix_s": round(h * w / 1e6 / dt, 3),
+                            "pallas": args.pallas})
+        if "fwd_patch" in modes:
+            xb = jnp.asarray(np.random.default_rng(0).uniform(
+                size=(32, 128, 128, 3)).astype(np.float32))
+            fn = jax.jit(apply_fn)
+            dt = timeit(fn, xb)
+            results.append({"mode": "fwd_patch_b32", "sec": round(dt, 4),
+                            "img_s": round(32 / dt, 2), "pallas": args.pallas})
+        if "train" in modes:
+            from dehaze_tpu.train.trainer import Trainer
+
+            tcfg = replace(Config(), model=cfg, loss=LossConfig(w_contrast=0.0))
+            trainer = Trainer(tcfg, steps_per_epoch=100)
+            clean = np.random.default_rng(0).uniform(
+                size=(32, 128, 128, 3)).astype(np.float32)
+            hazy = np.clip(clean + 0.1, 0, 1).astype(np.float32)
+            state = trainer.init_state(jax.random.PRNGKey(1), clean[:1])
+            rng = jax.random.PRNGKey(2)
+
+            def step(s):
+                s, _ = trainer.train_step(s, clean, hazy, rng, use_mixup=True)
+                return s
+
+            for _ in range(2):
+                state = step(state)
+            jax.block_until_ready(state.params)
+            t0 = time.perf_counter()
+            iters = 5
+            for _ in range(iters):
+                state = step(state)
+            jax.block_until_ready(state.params)
+            dt = (time.perf_counter() - t0) / iters
+            results.append({"mode": "train_step_b32", "sec": round(dt, 4),
+                            "img_s": round(32 / dt, 2), "pallas": args.pallas})
+
+    for r in results:
+        r["device"] = str(jax.devices()[0])
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()

@@ -34,6 +34,10 @@ def main():
     p.add_argument("--use_mixup", action="store_true", default=True,
                    help="the reference sweeps apply MixUp during the loss "
                         "eval (My_losslandscape.py:193)")
+    p.add_argument("--shard", default=None,
+                   help="'i/n': process every n-th grid point with offset i "
+                        "(points are independent; run n processes/hosts and "
+                        "merge the CSVs)")
     args = p.parse_args()
     cfg = config_from_args(args)
 
@@ -86,11 +90,16 @@ def main():
                                            jnp.asarray(hazy), sub)))
         return float(np.mean(losses))
 
+    point_filter = None
+    if args.shard:
+        i, nshards = (int(s) for s in args.shard.split("/"))
+        point_filter = lambda idx: idx % nshards == i
+
     rows = LS.get_loss_landscape(
         params, loss_on_dataset,
         kws=["pos_embed", "relative_position"],  # My_losslandscape.py:198
         n=args.n, scale=args.scale, seed=cfg.train.seed,
-        csv_path=args.out_csv, verbose=True,
+        csv_path=args.out_csv, verbose=True, point_filter=point_filter,
     )
     all_rows = LS.load_landscape_csv(args.out_csv) if args.out_csv else rows
     LS.plot_landscape(all_rows, args.out_plot)

@@ -51,10 +51,9 @@ def sample_count_matrix(sample_idx: jnp.ndarray, n: int) -> jnp.ndarray:
 
 
 def _pick_wtile(n_windows: int, cap: int = 16) -> int:
-    for wt in range(min(cap, n_windows), 0, -1):
-        if n_windows % wt == 0:
-            return wt
-    return 1
+    """Largest 8-multiple ≤ cap (Mosaic sublane constraint); the window axis
+    is zero-padded up to a multiple of it."""
+    return max(8, (min(cap, max(n_windows, 8)) // 8) * 8)
 
 
 def _kernel(q_ref, k_ref, v_ref, cnt_ref, bias_ref, region_ref, out_ref, *,
@@ -146,26 +145,35 @@ def probsparse_window_attention_pallas(
     u = probsparse_u(N, factor)
     use_mask = sw_region is not None
     use_bias = rel_pos_bias is not None
-    nW = num_windows if use_mask else _pick_wtile(B, cap=64)
+    # Shifted path: window axis = real windows (region blocks ride it).
+    # Unshifted: all of B goes on the window axis (nB=1) and is tiled freely.
+    nW = num_windows if use_mask else B
     nB = B // nW
     wt = _pick_wtile(nW, cap=wtile_cap)
+    nW_pad = -(-nW // wt) * wt  # zero-pad windows to a tile multiple
 
-    qg = q.reshape(nB, nW, H, N, D)
-    kg = k.reshape(nB, nW, H, N, D)
-    vg = v.reshape(nB, nW, H, N, D)
+    def prep(t):
+        t = t.reshape(nB, nW, H, N, D)
+        if nW_pad != nW:
+            t = jnp.pad(t, ((0, 0), (0, nW_pad - nW), (0, 0), (0, 0), (0, 0)))
+        return t
+
+    qg, kg, vg = prep(q), prep(k), prep(v)
     cnt = sample_count_matrix(sample_idx, N)
     bias = rel_pos_bias if use_bias else jnp.zeros((1, N, N), jnp.float32)
     bias_index = (lambda b, w, h: (h, 0, 0)) if use_bias else (
         lambda b, w, h: (0, 0, 0))
     region = (sw_region.astype(jnp.int32) if use_mask
               else jnp.zeros((nW, N), jnp.int32))
+    if nW_pad != region.shape[0]:
+        region = jnp.pad(region, ((0, nW_pad - region.shape[0]), (0, 0)))
     region_index = lambda b, w, h: (w, 0)
 
     qkv_spec = pl.BlockSpec(
         (1, wt, 1, N, D), lambda b, w, h: (b, w, h, 0, 0),
         memory_space=pltpu.VMEM,
     )
-    grid = (nB, nW // wt, H)
+    grid = (nB, nW_pad // wt, H)
     kernel = functools.partial(
         _kernel, u=u, scale=scale, use_bias=use_bias, use_mask=use_mask
     )
@@ -180,7 +188,7 @@ def probsparse_window_attention_pallas(
             pl.BlockSpec((wt, N), region_index, memory_space=pltpu.VMEM),
         ],
         out_specs=qkv_spec,
-        out_shape=jax.ShapeDtypeStruct((nB, nW, H, N, D), v.dtype),
+        out_shape=jax.ShapeDtypeStruct((nB, nW_pad, H, N, D), v.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * (2 * N * N * D + 3 * N * N),
@@ -188,4 +196,6 @@ def probsparse_window_attention_pallas(
             transcendentals=2 * B * H * N * N,
         ),
     )(qg, kg, vg, cnt, bias, region)
+    if nW_pad != nW:
+        out = out[:, :nW]
     return out.reshape(B, H, N, D)

@@ -112,13 +112,27 @@ def probsparse_attention(
     # subset; dense is faster on TPU and exactly contains the subset.)
     scores = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=acc_t)
 
-    # Sparsity measurement M over sampled columns (`attn.py:104-117`):
-    # S^[i, j] = scores[i, sample_idx[i, j]].
-    samp = jnp.take_along_axis(
-        scores, sample_idx[None, None, :, :], axis=-1
-    )  # [B, H, N, U_part]
-    m = jnp.max(samp, axis=-1) - jnp.sum(samp, axis=-1) / N  # [B, H, N]
-    row_mask = topu_row_mask(m, u)  # [B, H, N] bool
+    # Sparsity measurement M over sampled columns (`attn.py:104-117`),
+    # gather-free: with CNT[i, c] = #{j : sample_idx[i, j] = c},
+    #   Σ_j S[i, idx[i,j]] = Σ_c S[i, c]·CNT[i, c]   and
+    #   max_j S[i, idx[i,j]] = max_c where(CNT[i, c] > 0, S[i, c], -inf).
+    # (take_along_axis gathers and lax.top_k sorts are serial-ish on TPU and
+    # dominated the whole-image forward; these dense forms are VPU/MXU work.)
+    cnt = jnp.sum(jax.nn.one_hot(sample_idx, N, dtype=acc_t), axis=1)  # [N, N]
+    m_max = jnp.max(
+        jnp.where(cnt[None, None] > 0, scores, jnp.float32(-1e30)), axis=-1
+    )
+    m_sum = jnp.einsum("bhnm,nm->bhn", scores, cnt, preferred_element_type=acc_t)
+    m = m_max - m_sum / N  # [B, H, N]
+    # top-u by lexicographic rank (value desc, index asc — same tie order as
+    # lax.top_k / torch.topk), sort-free:
+    i_ids = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
+    j_ids = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+    beats = (m[..., None, :] > m[..., :, None]) | (
+        (m[..., None, :] == m[..., :, None]) & (j_ids < i_ids)
+    )
+    rank = jnp.sum(beats, axis=-1)  # [B, H, N]
+    row_mask = rank < u
 
     # First softmax over scaled raw scores (`attn.py:195,327-329`).
     attn = jax.nn.softmax(scores * scale, axis=-1)
