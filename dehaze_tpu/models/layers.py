@@ -125,13 +125,35 @@ class LeFF(nn.Module):
         x = nn.Dense(self.hidden_dim, kernel_init=trunc_init, dtype=self.dtype,
                      name="linear1")(x)
         x = nn.gelu(x, approximate=False)
-        x = nn.Conv(
-            self.hidden_dim, (3, 3), padding="SAME",
-            feature_group_count=self.hidden_dim, dtype=self.dtype, name="dwconv",
-        )(x)
+        x = DepthwiseConv3x3(self.hidden_dim, dtype=self.dtype, name="dwconv")(x)
         x = nn.gelu(x, approximate=False)
         return nn.Dense(self.out_dim, kernel_init=trunc_init, dtype=self.dtype,
                         name="linear2")(x)
+
+
+class DepthwiseConv3x3(nn.Module):
+    """Depthwise 3×3 conv via fused shifted adds (see ops/dwconv.py).
+
+    Bit-exact with flax nn.Conv(feature_group_count=C) and stores identical
+    params ({kernel: [3,3,1,C] HWIO, bias: [C]}), but compiles to one
+    elementwise fusion instead of XLA's space-to-depth grouped conv (which
+    costs ~50% more plus two full-tensor layout copies at large geometries).
+    """
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from dehaze_tpu.ops.dwconv import dwconv3x3
+
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, 1, self.features), jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        return dwconv3x3(x.astype(self.dtype), kernel.astype(self.dtype), bias)
 
 
 class LayerNorm(nn.Module):

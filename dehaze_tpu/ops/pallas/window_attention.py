@@ -190,6 +190,9 @@ def probsparse_window_attention_pallas(
         out_specs=qkv_spec,
         out_shape=jax.ShapeDtypeStruct((nB, nW_pad, H, N, D), v.dtype),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * (2 * N * N * D + 3 * N * N),
             bytes_accessed=4 * B * H * N * D * q.dtype.itemsize,
