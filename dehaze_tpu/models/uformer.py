@@ -95,9 +95,10 @@ class WindowAttention(nn.Module):
                          name="key")(x)
             v = nn.Dense(c, use_bias=True, kernel_init=trunc_init, dtype=self.dtype,
                          name="value")(x)
-            q, k, v = (
-                t.reshape(b, n, h, d).transpose(0, 2, 1, 3) for t in (q, k, v)
-            )
+            # token-major [B_, N, H, D] views (free reshapes); the attention
+            # op folds head transposes into its matmuls instead of
+            # materializing layout copies
+            q, k, v = (t.reshape(b, n, h, d) for t in (q, k, v))
             u_part = ps_ops.probsparse_u(n, self.factor)
             sample_idx = ps_ops.sample_indices(self.make_rng("sample"), n, n, u_part)
             if self.use_pallas and pad_flag is None:
@@ -106,14 +107,15 @@ class WindowAttention(nn.Module):
                 )
 
                 out = probsparse_window_attention_pallas(
-                    q, k, v,
+                    q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                    v.transpose(0, 2, 1, 3),
                     sample_idx=sample_idx,
                     rel_pos_bias=bias,
                     sw_region=sw_region,
                     num_windows=sw_region.shape[0] if sw_region is not None
                     else 1,
                     factor=self.factor,
-                )
+                ).transpose(0, 2, 1, 3)
             else:
                 out = ps_ops.probsparse_attention(
                     q, k, v,
@@ -122,20 +124,22 @@ class WindowAttention(nn.Module):
                     sw_region=sw_region,
                     pad_flag=pad_flag,
                     factor=self.factor,
+                    layout="bnhd",
                 )
-            out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
+            out = out.reshape(b, n, c)
             return nn.Dense(c, kernel_init=trunc_init, dtype=self.dtype,
                             name="out")(out)
 
         # flavor == "full": W-MSA (My_model.py:428-518)
         qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, kernel_init=trunc_init,
                        dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(b, n, 3, h, d).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]
+        qkv = qkv.reshape(b, n, 3, h, d)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         out = ps_ops.full_window_attention(
-            q, k, v, rel_pos_bias=bias, sw_region=sw_region, pad_flag=pad_flag
+            q, k, v, rel_pos_bias=bias, sw_region=sw_region, pad_flag=pad_flag,
+            layout="bnhd",
         )
-        out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
+        out = out.reshape(b, n, c)
         return nn.Dense(c, kernel_init=trunc_init, dtype=self.dtype, name="proj")(out)
 
 

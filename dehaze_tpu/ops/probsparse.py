@@ -77,11 +77,16 @@ def probsparse_attention(
     pad_flag: Optional[jnp.ndarray] = None,
     factor: int = 5,
     scale: Optional[float] = None,
+    layout: str = "bhnd",
 ) -> jnp.ndarray:
     """ProbSparse attention over already-projected window tokens.
 
     Args:
-      q, k, v: [B, H, N, D] (B = batch * num_windows, N = win² tokens).
+      q, k, v: [B, H, N, D] (layout='bhnd', B = batch * num_windows, N = win²
+        tokens) or [B, N, H, D] (layout='bnhd' — token-major, the natural
+        output of the q/k/v Dense layers; using it lets XLA fold the
+        head transposes into the matmuls instead of materializing 100+ MB
+        layout copies per block at whole-image geometry).
       sample_idx: [N, U_part] int32 sampled key columns (see sample_indices).
       rel_pos_bias: [H, N, N] or None (ablation `use_rel_pos_bias=False`,
         parity with reference `options.py:5`).
@@ -99,10 +104,16 @@ def probsparse_attention(
       scale: score scale; default 1/sqrt(D) (`attn.py:327`).
 
     Returns:
-      [B, H, N, D] context: top-u rows get double-softmax attention @ V, the
-      rest mean(V) along keys.
+      context in the input layout: top-u rows get double-softmax attention @
+      V, the rest mean(V) along keys.
     """
-    B, H, N, D = q.shape
+    token_major = layout == "bnhd"
+    if token_major:
+        B, N, H, D = q.shape
+        qk_eq, pv_eq = "bnhd,bmhd->bhnm", "bhnm,bmhd->bnhd"
+    else:
+        B, H, N, D = q.shape
+        qk_eq, pv_eq = "bhnd,bhmd->bhnm", "bhnm,bhmd->bhnd"
     if scale is None:
         scale = 1.0 / math.sqrt(D)
     u = probsparse_u(N, factor)
@@ -110,7 +121,7 @@ def probsparse_attention(
     acc_t = jnp.float32
     # Full scores on the MXU: [B, H, N, N]. (The reference computed a gathered
     # subset; dense is faster on TPU and exactly contains the subset.)
-    scores = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=acc_t)
+    scores = jnp.einsum(qk_eq, q, k, preferred_element_type=acc_t)
 
     # Sparsity measurement M over sampled columns (`attn.py:104-117`),
     # gather-free: with CNT[i, c] = #{j : sample_idx[i, j] = c},
@@ -159,10 +170,15 @@ def probsparse_attention(
     # matmul in fp16 (`My_train.py:224`), so reduced precision here is
     # *more* faithful than f32×f32 (which is also 8x slower on the MXU).
     ctx = jnp.einsum(
-        "bhnm,bhmd->bhnd", attn.astype(v.dtype), v, preferred_element_type=acc_t
+        pv_eq, attn.astype(v.dtype), v, preferred_element_type=acc_t
     )
-    v_mean = jnp.mean(v.astype(acc_t), axis=-2, keepdims=True)  # [B, H, 1, D]
-    out = jnp.where(row_mask[..., None], ctx, v_mean)
+    if token_major:
+        v_mean = jnp.mean(v.astype(acc_t), axis=1, keepdims=True)  # [B,1,H,D]
+        sel = row_mask.transpose(0, 2, 1)[..., None]  # [B, N, H, 1]
+    else:
+        v_mean = jnp.mean(v.astype(acc_t), axis=-2, keepdims=True)  # [B,H,1,D]
+        sel = row_mask[..., None]
+    out = jnp.where(sel, ctx, v_mean)
     return out.astype(v.dtype)
 
 
@@ -176,17 +192,24 @@ def full_window_attention(
     sw_region: Optional[jnp.ndarray] = None,
     pad_flag: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
+    layout: str = "bhnd",
 ) -> jnp.ndarray:
     """Dense W-MSA / SW-MSA (single softmax) — the reference's inactive
     `My_model.py` WindowAttention.forward (`:428-518`) variant.
 
     softmax(q·kᵀ·scale + bias + mask) @ v. Shapes as in probsparse_attention.
     """
-    B, H, N, D = q.shape
+    token_major = layout == "bnhd"
+    if token_major:
+        B, N, H, D = q.shape
+        qk_eq, pv_eq = "bnhd,bmhd->bhnm", "bhnm,bmhd->bnhd"
+    else:
+        B, H, N, D = q.shape
+        qk_eq, pv_eq = "bhnd,bhmd->bhnm", "bhnm,bhmd->bhnd"
     if scale is None:
         scale = 1.0 / math.sqrt(D)
     acc_t = jnp.float32
-    scores = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=acc_t) * scale
+    scores = jnp.einsum(qk_eq, q, k, preferred_element_type=acc_t) * scale
     if rel_pos_bias is not None:
         scores = scores + rel_pos_bias[None].astype(acc_t)
     if sw_region is not None and sw_mask is None:
@@ -204,6 +227,6 @@ def full_window_attention(
         scores = scores.reshape(B, H, N, N)
     attn = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum(
-        "bhnm,bhmd->bhnd", attn.astype(v.dtype), v, preferred_element_type=acc_t
+        pv_eq, attn.astype(v.dtype), v, preferred_element_type=acc_t
     )
     return out.astype(v.dtype)

@@ -120,3 +120,28 @@ def test_sample_indices_shape_and_range():
     si = PS.sample_indices(jax.random.PRNGKey(0), 64, 64, 25)
     assert si.shape == (64, 25)
     assert int(si.min()) >= 0 and int(si.max()) < 64
+
+
+def test_token_major_layout_matches():
+    rng = np.random.default_rng(7)
+    B, H, N, D = 4, 2, 16, 8
+    q = rng.normal(size=(B, H, N, D)).astype(np.float32)
+    k = rng.normal(size=(B, H, N, D)).astype(np.float32)
+    v = rng.normal(size=(B, H, N, D)).astype(np.float32)
+    si = rng.integers(0, N, size=(N, PS.probsparse_u(N))).astype(np.int32)
+    bias = rng.normal(size=(H, N, N)).astype(np.float32)
+    a = PS.probsparse_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                                sample_idx=jnp.asarray(si),
+                                rel_pos_bias=jnp.asarray(bias))
+    b = PS.probsparse_attention(
+        jnp.asarray(q.transpose(0, 2, 1, 3)), jnp.asarray(k.transpose(0, 2, 1, 3)),
+        jnp.asarray(v.transpose(0, 2, 1, 3)), sample_idx=jnp.asarray(si),
+        rel_pos_bias=jnp.asarray(bias), layout="bnhd")
+    np.testing.assert_allclose(np.asarray(b.transpose(0, 2, 1, 3)),
+                               np.asarray(a), rtol=1e-5, atol=1e-5)
+    c = PS.full_window_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    d = PS.full_window_attention(
+        jnp.asarray(q.transpose(0, 2, 1, 3)), jnp.asarray(k.transpose(0, 2, 1, 3)),
+        jnp.asarray(v.transpose(0, 2, 1, 3)), layout="bnhd")
+    np.testing.assert_allclose(np.asarray(d.transpose(0, 2, 1, 3)),
+                               np.asarray(c), rtol=1e-5, atol=1e-5)
