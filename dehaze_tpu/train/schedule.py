@@ -31,7 +31,7 @@ def make_epoch_lr(cfg: TrainConfig) -> Callable[[int], float]:
     base = cfg.lr_initial
     if cfg.warmup:
         w = cfg.warmup_epochs
-        t_max = cfg.nepoch - w
+        t_max = max(cfg.nepoch - w, 1)  # degenerate nepoch<=warmup guard
         eta = cfg.cosine_eta_min
 
         def lr(epoch: int) -> float:
