@@ -37,6 +37,7 @@ BASELINE_REF_MPIXPS = 5.6  # estimated A40 PyTorch reference (see module doc)
 H, W, PS = 1200, 1600, 128
 WARMUP = 2
 ITERS = 8
+BATCH = int(os.environ.get("BENCH_BATCH", "1"))
 
 
 def main():
@@ -61,7 +62,7 @@ def main():
     run = make_whole_image_fn(apply_fn, H, W, PS)
 
     img = jnp.asarray(
-        np.random.default_rng(0).uniform(size=(1, H, W, 3)).astype(np.float32)
+        np.random.default_rng(0).uniform(size=(BATCH, H, W, 3)).astype(np.float32)
     )
     for _ in range(WARMUP):
         run(img).block_until_ready()
@@ -72,7 +73,7 @@ def main():
     out.block_until_ready()
     dt = (time.perf_counter() - t0) / ITERS
 
-    mpix_s = (H * W / 1e6) / dt
+    mpix_s = (BATCH * H * W / 1e6) / dt
     print(
         json.dumps(
             {
@@ -81,7 +82,8 @@ def main():
                 "value": round(mpix_s, 3),
                 "unit": "Mpix/s",
                 "vs_baseline": round(mpix_s / BASELINE_REF_MPIXPS, 3),
-                "sec_per_frame": round(dt, 4),
+                "sec_per_frame": round(dt / BATCH, 4),
+                "batch": BATCH,
                 "pallas": use_pallas,
                 "device": str(jax.devices()[0]),
             }

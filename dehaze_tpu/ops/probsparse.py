@@ -122,6 +122,12 @@ def probsparse_attention(
     # Full scores on the MXU: [B, H, N, N]. (The reference computed a gathered
     # subset; dense is faster on TPU and exactly contains the subset.)
     scores = jnp.einsum(qk_eq, q, k, preferred_element_type=acc_t)
+    # Store the [B,H,N,N] intermediates in the input dtype at fusion
+    # boundaries (bf16 on the hot path): softmax math stays f32 below, but
+    # HBM traffic of the dominant tensors halves. The reference's fp16
+    # autocast stored these in fp16 (`My_train.py:224`).
+    store_t = q.dtype if q.dtype != jnp.float32 else acc_t
+    scores = scores.astype(store_t).astype(acc_t)
 
     # Sparsity measurement M over sampled columns (`attn.py:104-117`),
     # gather-free: with CNT[i, c] = #{j : sample_idx[i, j] = c},
@@ -147,6 +153,7 @@ def probsparse_attention(
 
     # First softmax over scaled raw scores (`attn.py:195,327-329`).
     attn = jax.nn.softmax(scores * scale, axis=-1)
+    attn = attn.astype(store_t).astype(acc_t)
 
     # Bias added to softmaxed weights (`attn.py:229-230`), then SW mask rows
     # (`attn.py:246-258`), then softmax AGAIN (`attn.py:262-264`).
