@@ -1,0 +1,131 @@
+"""Convert reference PyTorch Uformer checkpoints to dehaze_tpu params.
+
+Maps the state_dict of the reference models
+(`Uformer_ProbSparse/My_model_1.py` ProbSparse variant and `My_model.py`
+W-MSA variant; checkpoint format `{'epoch','state_dict','optimizer'}`,
+`My_train.py:330-333`, with DataParallel `module.` prefixes tolerated as in
+`utils/model_utils.py:28-40`) onto the dehaze_tpu Uformer parameter tree, so
+users can carry trained reference weights over.
+
+Layout conversions:
+  Linear [out,in] → kernel [in,out]
+  Conv2d [out,in,kh,kw] → HWIO [kh,kw,in,out]   (covers depthwise [C,1,3,3])
+  ConvTranspose2d [in,out,kh,kw] → HWIO [kh,kw,in,out], spatially flipped
+    (verified numerically against torch).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+
+def _lin(sd, key):
+    return {
+        "kernel": np.ascontiguousarray(sd[f"{key}.weight"].T),
+        "bias": np.ascontiguousarray(sd[f"{key}.bias"]),
+    }
+
+
+def _conv(sd, key):
+    return {
+        "kernel": np.ascontiguousarray(sd[f"{key}.weight"].transpose(2, 3, 1, 0)),
+        "bias": np.ascontiguousarray(sd[f"{key}.bias"]),
+    }
+
+
+def _deconv(sd, key):
+    w = sd[f"{key}.weight"].transpose(2, 3, 0, 1)  # [kh,kw,in,out]
+    return {
+        "kernel": np.ascontiguousarray(np.flip(w, (0, 1))),
+        "bias": np.ascontiguousarray(sd[f"{key}.bias"]),
+    }
+
+
+def _ln(sd, key):
+    return {
+        "scale": np.ascontiguousarray(sd[f"{key}.weight"]),
+        "bias": np.ascontiguousarray(sd[f"{key}.bias"]),
+    }
+
+
+def _block(sd, prefix: str, attention: str) -> Dict[str, Any]:
+    out: Dict[str, Any] = {
+        "norm1": _ln(sd, f"{prefix}.norm1"),
+        "norm2": _ln(sd, f"{prefix}.norm2"),
+        "mlp": {
+            "linear1": _lin(sd, f"{prefix}.mlp.linear1.0"),
+            "dwconv": _conv(sd, f"{prefix}.mlp.dwconv.0"),
+            "linear2": _lin(sd, f"{prefix}.mlp.linear2.0"),
+        },
+    }
+    attn: Dict[str, Any] = {}
+    if f"{prefix}.attn.relative_position_bias_table" in sd:
+        attn["relative_position_bias_table"] = np.ascontiguousarray(
+            sd[f"{prefix}.attn.relative_position_bias_table"]
+        )
+    if attention == "probsparse":
+        # AttentionLayer projections (attn.py:377-381). The reference also
+        # stores unused attn.qkv.* / attn.proj.* params — ignored.
+        attn["query"] = _lin(sd, f"{prefix}.attn.ProbSpare.query_projection")
+        attn["key"] = _lin(sd, f"{prefix}.attn.ProbSpare.key_projection")
+        attn["value"] = _lin(sd, f"{prefix}.attn.ProbSpare.value_projection")
+        attn["out"] = _lin(sd, f"{prefix}.attn.ProbSpare.out_projection")
+    else:
+        # W-MSA LinearProjection: to_q [C,C] + to_kv [2C,C] → fused qkv [C,3C]
+        q = _lin(sd, f"{prefix}.attn.qkv.to_q")
+        kv = _lin(sd, f"{prefix}.attn.qkv.to_kv")
+        attn["qkv"] = {
+            "kernel": np.concatenate([q["kernel"], kv["kernel"]], axis=1),
+            "bias": np.concatenate([q["bias"], kv["bias"]], axis=0),
+        }
+        attn["proj"] = _lin(sd, f"{prefix}.attn.proj")
+    out["attn"] = attn
+    return out
+
+
+def _stage(sd, prefix: str, depth: int, attention: str) -> Dict[str, Any]:
+    return {
+        f"block_{j}": _block(sd, f"{prefix}.blocks.{j}", attention)
+        for j in range(depth)
+    }
+
+
+def convert_uformer_state_dict(
+    state_dict: Mapping[str, Any],
+    *,
+    depths=(2,) * 9,
+    attention: str = "probsparse",
+) -> Dict[str, Any]:
+    """torch state_dict (tensors or ndarrays) → dehaze_tpu Uformer params."""
+    sd = {}
+    for k, v in state_dict.items():
+        if k.startswith("module."):  # DataParallel prefix
+            k = k[len("module.") :]
+        sd[k] = v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+
+    n_enc = len(depths) // 2
+    params: Dict[str, Any] = {
+        "input_proj": {"proj": _conv(sd, "input_proj.proj.0")},
+        "output_proj": {"proj": _conv(sd, "output_proj.proj.0")},
+        "bottleneck": _stage(sd, "conv", depths[4], attention),
+    }
+    for i in range(n_enc):
+        params[f"encoder_{i}"] = _stage(sd, f"encoderlayer_{i}", depths[i],
+                                        attention)
+        # reference spells it 'dowsample' (`My_model_1.py:1012`)
+        params[f"downsample_{i}"] = {"conv": _conv(sd, f"dowsample_{i}.conv.0")}
+        params[f"upsample_{i}"] = {"deconv": _deconv(sd, f"upsample_{i}.deconv.0")}
+        params[f"decoder_{i}"] = _stage(sd, f"decoderlayer_{i}", depths[5 + i],
+                                        attention)
+    return params
+
+
+def load_reference_checkpoint(path: str, **kw) -> Dict[str, Any]:
+    """Load a reference .pth `{'state_dict': ...}` file (needs torch)."""
+    import torch
+
+    payload = torch.load(path, map_location="cpu", weights_only=False)
+    sd = payload.get("state_dict", payload)
+    return convert_uformer_state_dict(sd, **kw)
