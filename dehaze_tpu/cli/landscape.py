@@ -56,6 +56,8 @@ def main():
         vgg_params = (vgg_mod.load_params_npz(vgg, cfg.loss.vgg_weights)
                       if cfg.loss.vgg_weights else vgg_mod.init_vgg_params(vgg))
 
+    is_ffa = cfg.model.arch == "ffa"
+
     @jax.jit
     def batch_loss(p, clean, hazy, k):
         if args.use_mixup:
@@ -63,6 +65,10 @@ def main():
         restored = model.apply({"params": p}, hazy, train=False,
                                rngs={"sample": k})
         restored = jnp.clip(restored, 0.0, 1.0)
+        if is_ffa:
+            # FFA landscape loss: L1 (+ perceptual handled by FFA trainer
+            # config), matching `FFA_.../ops/My_tests.py:86-89`.
+            return jnp.mean(jnp.abs(restored - clean))
         loss = cfg.loss.w_charbonnier * L.charbonnier_loss(
             restored, clean, cfg.loss.charbonnier_eps)
         if use_cr:

@@ -1,0 +1,49 @@
+"""Multi-chip whole-image inference: frame batch sharded over the ICI mesh.
+
+The reference's biggest-geometry eval needed a rented A40 for a single frame
+(`test_long_GPU.py:19`); here a batch of frames shards over the `('data',)`
+mesh axis — windows never communicate, convs stay within a frame, so the
+program is embarrassingly parallel over frames and XLA inserts no collectives
+at all. (Intra-frame window sharding with conv halo exchange is future work;
+see DESIGN.md.)
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dehaze_tpu.infer.tiled import canvas_size, wrap_pad_canvas
+
+
+def make_sharded_whole_image_fn(
+    apply_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    mesh: Mesh,
+    h: int,
+    w: int,
+    ps: int = 128,
+    axis: str = "data",
+):
+    """Jitted [B, h, w, C] → restored [B, h, w, C], B sharded over the mesh.
+
+    B must be a multiple of the mesh axis size.
+    """
+    L = canvas_size(h, w, ps)
+    in_sh = NamedSharding(mesh, P(axis))
+
+    @jax.jit
+    def run(img):
+        img = jax.lax.with_sharding_constraint(img, in_sh)
+        canvas = wrap_pad_canvas(img, L)
+        out = apply_fn(canvas)
+        return jnp.clip(out[:, :h, :w, :], 0.0, 1.0)
+
+    def call(img_host: np.ndarray):
+        img = jax.device_put(jnp.asarray(img_host), in_sh)
+        return run(img)
+
+    return call

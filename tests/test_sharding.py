@@ -75,3 +75,35 @@ def test_dp_train_step_matches_single_device():
     for a, b in zip(jax.tree.leaves(s_single.params), jax.tree.leaves(s_multi.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
                                    atol=1e-6)
+
+
+@needs_8
+def test_sharded_whole_image_inference_matches_single_device():
+    import jax.numpy as jnp
+
+    from dehaze_tpu.config import ModelConfig
+    from dehaze_tpu.infer.sharded import make_sharded_whole_image_fn
+    from dehaze_tpu.infer.tiled import make_whole_image_fn
+    from dehaze_tpu.models.uformer import Uformer
+
+    cfg = ModelConfig(img_size=32, embed_dim=8, dtype=jnp.float32)
+    model = Uformer(cfg)
+    key = jax.random.PRNGKey(0)
+    variables = jax.jit(
+        lambda: model.init({"params": key, "sample": key},
+                           jnp.zeros((1, 32, 32, 3)))
+    )()
+
+    def apply_fn(x):
+        return model.apply(variables, x, rngs={"sample": key})
+
+    rng = np.random.default_rng(0)
+    imgs = rng.uniform(size=(8, 40, 56, 3)).astype(np.float32)
+
+    single = make_whole_image_fn(apply_fn, 40, 56, 32)
+    expect = np.asarray(single(jnp.asarray(imgs)))
+
+    mesh = make_mesh(8)
+    sharded = make_sharded_whole_image_fn(apply_fn, mesh, 40, 56, 32)
+    got = np.asarray(sharded(imgs))
+    np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-6)
