@@ -59,7 +59,8 @@ def main():
     def apply_fn(x):
         return model.apply(variables, x, train=False, rngs={"sample": key})
 
-    run = make_whole_image_fn(apply_fn, H, W, PS)
+    square = os.environ.get("BENCH_SQUARE", "0") == "1"
+    run = make_whole_image_fn(apply_fn, H, W, PS, square=square)
 
     img = jnp.asarray(
         np.random.default_rng(0).uniform(size=(BATCH, H, W, 3)).astype(np.float32)
@@ -85,6 +86,8 @@ def main():
                 "sec_per_frame": round(dt / BATCH, 4),
                 "batch": BATCH,
                 "pallas": use_pallas,
+                "canvas": "1664x1664 (reference square protocol)" if square
+                          else "1280x1664 (rect wrap-pad, same crop)",
                 "device": str(jax.devices()[0]),
             }
         )

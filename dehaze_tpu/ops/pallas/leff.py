@@ -7,10 +7,11 @@ Unfused (XLA), the LeFF chain at decoder-3 of a 1664² canvas materializes a
 never touches HBM; per-tile traffic is x-in + y-out only.
 
 Mechanics:
-- the wrapper zero-pads x by 1 pixel (SAME conv halo) so the kernel always
-  DMAs a full (T+2)² tile — no boundary special-casing in the kernel;
-- x stays in HBM (`memory_space=ANY`); tiles are fetched with
-  `pltpu.make_async_copy` into VMEM scratch (guide: Async DMA pattern);
+- the wrapper zero-pads x by 1 pixel (SAME conv halo) and materializes the
+  overlapping (T+2)² tiles with two cheap row/col gathers (+6% memory) —
+  Mosaic cannot DMA partial-lane slices (C=64 inside a 128-lane-padded HBM
+  layout), so tiles are plain pipelined BlockSpec blocks instead of manual
+  DMA;
 - dense1/dense2 are [T², C]→MXU matmuls with big M; the depthwise conv is 9
   static shifted multiply-adds over the haloed hidden tile;
 - LayerNorm (the block's norm2) is fused in front; the residual add stays
@@ -30,21 +31,32 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(x_hbm, gamma, beta, w1, b1, dw, dwb, w2, b2, out_ref,
-            xt, sem, *, T: int, C: int, Ch: int, H: int, W: int, eps: float):
+def _erf(x):
+    """Abramowitz–Stegun 7.1.26 rational erf (max abs err 1.5e-7): Mosaic has
+    no erf/erfc primitive, and 1.5e-7 is far below bf16 output resolution."""
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    p = 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    y = 1.0 - ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t * jnp.exp(
+        -ax * ax)
+    return s * y
+
+
+def _gelu_exact(x):
+    """0.5·x·(1+erf(x/√2)) — torch's default (non-tanh) GELU."""
+    return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
+
+
+def _kernel(x_ref, gamma, beta, w1, b1, dw, dwb, w2, b2, out_ref,
+            *, T: int, C: int, Ch: int, H: int, W: int, eps: float):
     i = pl.program_id(1)
     j = pl.program_id(2)
-    b = pl.program_id(0)
 
-    # fetch haloed tile [T+2, T+2, C] from the padded image
-    cp = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(i * T, T + 2), pl.ds(j * T, T + 2), :], xt, sem
-    )
-    cp.start()
-    cp.wait()
-
-    P = T + 2
-    x = xt[...].astype(jnp.float32)  # [P, P, C]
+    Ph = Pw = T + 2
+    x = x_ref[0, 0, :, 0, :, :].astype(jnp.float32)  # [Ph, Pw, C]
 
     # LayerNorm over channels (norm2 of the LeWin block)
     mu = jnp.mean(x, axis=-1, keepdims=True)
@@ -53,20 +65,21 @@ def _kernel(x_hbm, gamma, beta, w1, b1, dw, dwb, w2, b2, out_ref,
     xn = xn * gamma[...].astype(jnp.float32) + beta[...].astype(jnp.float32)
 
     # dense1 + GELU on the haloed tile (pointwise → halo stays valid)
-    xn2 = xn.reshape(P * P, C).astype(w1.dtype)
+    xn2 = xn.reshape(Ph * Pw, C).astype(w1.dtype)
     hid = jax.lax.dot_general(
         xn2, w1[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) + b1[...].astype(jnp.float32)  # [P*P, Ch]
-    hid = jax.nn.gelu(hid, approximate=False)
-    hid = hid.reshape(P, P, Ch)
+    ) + b1[...].astype(jnp.float32)  # [Ph*Pw, Ch]
+    hid = _gelu_exact(hid)
+    hid = hid.reshape(Ph, Pw, Ch)
     # Zero the halo ring that lies OUTSIDE the image: the reference conv's
     # SAME padding sees zeros there, while LN(0-pad) is nonzero. Only
     # image-border tiles have such rows/cols.
-    rows = jax.lax.broadcasted_iota(jnp.int32, (P, P), 0) + i * T
-    cols = jax.lax.broadcasted_iota(jnp.int32, (P, P), 1) + j * T
+    rows = jax.lax.broadcasted_iota(jnp.int32, (Ph, Pw), 0) + i * T
+    cols = jax.lax.broadcasted_iota(jnp.int32, (Ph, Pw), 1) + j * T
     inside = (rows >= 1) & (rows <= H) & (cols >= 1) & (cols <= W)
-    hid = jnp.where(inside[:, :, None], hid, jnp.float32(0.0))
+    # multiply by an f32 mask (Mosaic can't insert a minor dim on i1 vectors)
+    hid = hid * inside.astype(jnp.float32)[:, :, None]
     hid = hid.astype(w1.dtype)
 
     # depthwise 3x3, VALID over the halo → [T, T, Ch]
@@ -79,7 +92,7 @@ def _kernel(x_hbm, gamma, beta, w1, b1, dw, dwb, w2, b2, out_ref,
             ].astype(jnp.float32)
             acc = t if acc is None else acc + t
     acc = acc + dwb[...].astype(jnp.float32)
-    acc = jax.nn.gelu(acc, approximate=False)
+    acc = _gelu_exact(acc)
 
     # dense2 back to C
     y = jax.lax.dot_general(
@@ -116,16 +129,27 @@ def leff_fused(
         raise ValueError(f"H, W must be multiples of {T}, got {H}x{W}")
 
     dtype = x.dtype
+    nH, nW = H // T, W // T
+    P = T + 2
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # overlapping (T+2)-row/col bands via gathers (~6% duplication)
+    import numpy as _np
+
+    ridx = (_np.arange(nH)[:, None] * T + _np.arange(P)[None, :]).reshape(-1)
+    cidx = (_np.arange(nW)[:, None] * T + _np.arange(P)[None, :]).reshape(-1)
+    xp = jnp.take(xp, jnp.asarray(ridx), axis=1)
+    xp = jnp.take(xp, jnp.asarray(cidx), axis=2)
+    xp = xp.reshape(B, nH, P, nW, P, C)
     dw = dw_kernel.reshape(3, 3, Ch).astype(dtype)
 
-    grid = (B, H // T, W // T)
+    grid = (B, nH, nW)
     kernel = functools.partial(_kernel, T=T, C=C, Ch=Ch, H=H, W=W, eps=eps)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # padded image, manual DMA
+            pl.BlockSpec((1, 1, P, 1, P, C), lambda b, i, j: (b, i, 0, j, 0, 0),
+                         memory_space=pltpu.VMEM),  # haloed tile
             pl.BlockSpec(memory_space=pltpu.VMEM),  # ln scale
             pl.BlockSpec(memory_space=pltpu.VMEM),  # ln bias
             pl.BlockSpec(memory_space=pltpu.VMEM),  # w1
@@ -139,10 +163,6 @@ def leff_fused(
             (1, T, T, C), lambda b, i, j: (b, i, j, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B, H, W, C), dtype),
-        scratch_shapes=[
-            pltpu.VMEM((T + 2, T + 2, C), dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,

@@ -43,3 +43,14 @@ def test_wrap_pad_square_needs_only_bottom():
     got = np.asarray(wrap_pad_canvas(jnp.asarray(img), 48))
     expect = reference_pad(img, 48)
     np.testing.assert_array_equal(got, expect)
+
+
+def test_rect_wrap_pad():
+    rng = np.random.default_rng(2)
+    img = rng.uniform(size=(1, 24, 40, 3)).astype(np.float32)
+    got = np.asarray(wrap_pad_canvas(jnp.asarray(img), 32, 48))
+    assert got.shape == (1, 32, 48, 3)
+    # same per-axis wrap rule as the square reference path
+    np.testing.assert_array_equal(got[:, :24, :40], img)
+    np.testing.assert_array_equal(got[:, :24, 40:48], img[:, :, :8])
+    np.testing.assert_array_equal(got[:, 24:32, :], got[:, :8, :])
