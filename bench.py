@@ -78,8 +78,9 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "whole-image dehaze throughput (1200x1600 frame, "
-                          "Uformer-32 ProbSparse, wrap-pad 1664² protocol)",
+                "metric": "whole-image dehaze throughput (full 1200x1600 "
+                          "NH-HAZE-geometry frames, Uformer-32 ProbSparse, "
+                          "wrap-pad whole-frame protocol)",
                 "value": round(mpix_s, 3),
                 "unit": "Mpix/s",
                 "vs_baseline": round(mpix_s / BASELINE_REF_MPIXPS, 3),

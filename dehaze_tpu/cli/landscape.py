@@ -5,7 +5,6 @@
 """
 
 import argparse
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ import numpy as np
 from dehaze_tpu.cli.common import add_common_args, config_from_args
 from dehaze_tpu.data.images import save_img
 from dehaze_tpu.data.pipeline import PairedFolder, val_images
-from dehaze_tpu.infer.tiled import canvas_size, make_whole_image_fn
+from dehaze_tpu.infer.tiled import make_whole_image_fn
 from dehaze_tpu.models import get_arch
 from dehaze_tpu.ops import metrics as M
 from dehaze_tpu.train.checkpoint import load_checkpoint

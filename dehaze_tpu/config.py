@@ -11,7 +11,7 @@ train / eval / landscape CLIs.  The rel-pos-bias ablation is a real flag here
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 

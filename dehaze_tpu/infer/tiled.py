@@ -20,8 +20,7 @@ function runs with the canvas batch/window dim sharded over ICI.
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ InputProj/OutputProj (`My_model_1.py:659-733`), Downsample/Upsample
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Any
 
 import flax.linen as nn
 import jax

@@ -24,7 +24,7 @@ attention='probsparse'), 'dropout', 'droppath' (train only).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -71,6 +71,7 @@ class WindowAttention(nn.Module):
         x: jnp.ndarray,  # [B_, N, C]  B_ = batch * num_windows
         sw_region: Optional[jnp.ndarray] = None,  # [nW, N] region ids or None
         pad_flag: Optional[jnp.ndarray] = None,  # [nW, N] padding flags
+        deterministic: bool = True,
     ) -> jnp.ndarray:
         b, n, c = x.shape
         h = self.num_heads
@@ -101,7 +102,10 @@ class WindowAttention(nn.Module):
             q, k, v = (t.reshape(b, n, h, d) for t in (q, k, v))
             u_part = ps_ops.probsparse_u(n, self.factor)
             sample_idx = ps_ops.sample_indices(self.make_rng("sample"), n, n, u_part)
-            if self.use_pallas and pad_flag is None:
+            # the fused kernel is forward-only (no custom VJP yet): use it
+            # for inference, fall back to the differentiable jnp path in
+            # training
+            if self.use_pallas and pad_flag is None and deterministic:
                 from dehaze_tpu.ops.pallas.window_attention import (
                     probsparse_window_attention_pallas,
                 )
@@ -218,7 +222,7 @@ class LeWinBlock(nn.Module):
             use_pallas=self.use_pallas,
             dtype=self.dtype,
             name="attn",
-        )(windows, sw_region, pad_flag)
+        )(windows, sw_region, pad_flag, deterministic)
         y = win_ops.window_reverse(attn_windows, win, H, W)
         if shift > 0:
             y = win_ops.cyclic_unshift(y, shift)

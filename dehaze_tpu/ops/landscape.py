@@ -19,10 +19,9 @@ TPU-native design:
 from __future__ import annotations
 
 import csv
-import math
 import os
 import re
-from typing import Callable, Dict, Iterable, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, Iterable, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

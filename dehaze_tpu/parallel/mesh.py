@@ -18,7 +18,7 @@ windows are embarrassingly parallel (SURVEY §5: no ring attention needed).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

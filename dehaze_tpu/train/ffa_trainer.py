@@ -13,7 +13,7 @@ exposed here as `normalize_hazy`.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Iterator, Optional, Tuple
+from typing import Any, Iterator, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

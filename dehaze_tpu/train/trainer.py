@@ -21,10 +21,7 @@ TPU-native translation of the *mechanisms* (not the code):
 
 from __future__ import annotations
 
-import dataclasses
-import functools
-import time
-from typing import Any, Callable, Dict, Iterator, Optional, Tuple
+from typing import Any, Dict, Iterator, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,14 @@ def enable_compilation_cache(path: str | None = None) -> None:
         return
     import jax
 
-    path = path or os.environ.get("DEHAZE_TPU_CACHE_DIR", _DEFAULT_DIR)
+    if path is None:
+        path = os.environ.get("DEHAZE_TPU_CACHE_DIR", _DEFAULT_DIR)
+        # Separate caches per platform: the remote (tunnel) compile service
+        # emits XLA:CPU AOT artifacts for a different host CPU (AVX512-AMX);
+        # loading those locally SIGILLs. Platform is decided before backend
+        # init by JAX_PLATFORMS (the axon sitecustomize sets it to the TPU).
+        platform = os.environ.get("JAX_PLATFORMS", "default").split(",")[0]
+        path = os.path.join(path, platform or "default")
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

@@ -9,7 +9,7 @@ after fusion, instead of hand-maintained formulas.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Tuple
+from typing import Callable, Dict
 
 import jax
 import numpy as np

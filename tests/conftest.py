@@ -16,6 +16,16 @@ import sys
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+# XLA:CPU collectives rendezvous with a 40 s termination timeout; this host
+# exposes ONE core, so 8-virtual-device executions serialize and can
+# legitimately take longer. Raise the timeout (the flag names come from
+# xla_cpu DebugOptions).
+_COLLECTIVE_FLAGS = (
+    " --xla_cpu_collective_call_terminate_timeout_seconds=3600"
+    " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+)
+
+
 def _needs_reexec() -> bool:
     if os.environ.get("DEHAZE_TPU_TEST_REEXEC"):
         return False
@@ -32,16 +42,20 @@ if _needs_reexec():
     env["JAX_PLATFORMS"] = "cpu"
     flags = env.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
-        env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+        flags += " --xla_force_host_platform_device_count=8"
+    if "collective_call_terminate" not in flags:
+        flags += _COLLECTIVE_FLAGS
+    env["XLA_FLAGS"] = flags.strip()
     os.execve(sys.executable,
               [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags += " --xla_force_host_platform_device_count=8"
+if "collective_call_terminate" not in flags:
+    flags += _COLLECTIVE_FLAGS
+os.environ["XLA_FLAGS"] = flags.strip()
 
 sys.path.insert(0, _REPO)
 

@@ -90,3 +90,29 @@ def test_model_with_pallas_matches_jnp_path():
     out_pal = m_pal.apply(variables, x, rngs={"sample": k})
     np.testing.assert_allclose(np.asarray(out_pal), np.asarray(out_ref),
                                rtol=5e-5, atol=5e-5)
+
+
+def test_pallas_model_trains_via_jnp_fallback():
+    """use_pallas=True must still be differentiable: training falls back to
+    the jnp path (the fused kernel has no VJP)."""
+    from dehaze_tpu.config import ModelConfig, replace
+    from dehaze_tpu.models.uformer import Uformer
+
+    cfg = ModelConfig(img_size=32, embed_dim=8, dtype=jnp.float32,
+                      use_pallas=True)
+    m = Uformer(cfg)
+    k = jax.random.PRNGKey(0)
+    x = jnp.ones((1, 32, 32, 3)) * 0.4
+    variables = jax.jit(
+        lambda: m.init({"params": k, "sample": k}, x, train=True)
+    )()
+
+    def loss(p):
+        out = m.apply({"params": p}, x, train=True,
+                      rngs={"sample": k, "dropout": k, "droppath": k})
+        return jnp.mean(jnp.square(out - 0.5))
+
+    g = jax.grad(loss)(variables["params"])
+    flat = jax.tree.leaves(g)
+    assert all(np.isfinite(np.asarray(t)).all() for t in flat)
+    assert any(float(jnp.abs(t).max()) > 0 for t in flat)
