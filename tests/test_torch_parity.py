@@ -131,3 +131,54 @@ def test_converted_param_tree_matches_init_structure(ref_model):
     paths_a = {jax.tree_util.keystr(p): v.shape for p, v in flat_a}
     paths_b = {jax.tree_util.keystr(p): np.asarray(v).shape for p, v in flat_b}
     assert paths_a == paths_b
+
+
+def test_probsparse_converter_numerical_parity(ref_model):
+    """ProbSparse variant: run the reference ProbAttention (torch.randint
+    monkeypatched to fixed indices) against our probsparse path with the same
+    sample indices and converted AttentionLayer weights."""
+    import jax.numpy as jnp
+
+    sys.path.insert(0, REF)
+    from ProbSparse.attn import AttentionLayer  # reference module, oracle
+
+    from dehaze_tpu.ops import probsparse as PS
+    from dehaze_tpu.utils.convert_torch import _lin
+
+    torch.manual_seed(1)
+    C, H = 16, 2
+    layer = AttentionLayer(C, H).eval()
+
+    rng = np.random.default_rng(0)
+    N, B_ = 16, 3
+    x = rng.normal(size=(B_, N, C)).astype(np.float32) * 0.3
+    bias = rng.normal(size=(H, N, N)).astype(np.float32) * 0.1
+    u_part = PS.probsparse_u(N)
+    fixed_idx = rng.integers(0, N, size=(N, u_part))
+
+    real_randint = torch.randint
+    try:
+        torch.randint = lambda high, size, **kw: torch.from_numpy(
+            fixed_idx[: size[0], : size[1]].copy())
+        with torch.no_grad():
+            yt, _ = layer(torch.from_numpy(x), torch.from_numpy(x),
+                          torch.from_numpy(x), torch.from_numpy(bias), None)
+        yt = yt.numpy()
+    finally:
+        torch.randint = real_randint
+
+    sd = layer.state_dict()
+    wq = _lin(sd, "query_projection")
+    wk = _lin(sd, "key_projection")
+    wv = _lin(sd, "value_projection")
+    wo = _lin(sd, "out_projection")
+
+    xj = jnp.asarray(x)
+    q = (xj @ wq["kernel"] + wq["bias"]).reshape(B_, N, H, C // H)
+    k = (xj @ wk["kernel"] + wk["bias"]).reshape(B_, N, H, C // H)
+    v = (xj @ wv["kernel"] + wv["bias"]).reshape(B_, N, H, C // H)
+    out = PS.probsparse_attention(
+        q, k, v, sample_idx=jnp.asarray(fixed_idx.astype(np.int32)),
+        rel_pos_bias=jnp.asarray(bias), layout="bnhd")
+    yj = np.asarray(out.reshape(B_, N, C) @ wo["kernel"] + wo["bias"])
+    np.testing.assert_allclose(yj, yt, rtol=2e-4, atol=2e-4)
