@@ -107,3 +107,44 @@ def test_sharded_whole_image_inference_matches_single_device():
     sharded = make_sharded_whole_image_fn(apply_fn, mesh, 40, 56, 32)
     got = np.asarray(sharded(imgs))
     np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-6)
+
+
+@needs_8
+def test_2d_mesh_replica_x_data_train_step():
+    """DCN-extensible axis layout: a ('replica', 'data') 2×4 mesh with the
+    batch sharded over BOTH axes reproduces the single-device step — the
+    future multi-slice layout needs no code changes (DESIGN.md)."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from dehaze_tpu.config import Config, LossConfig, ModelConfig, replace
+    from dehaze_tpu.train.trainer import Trainer
+
+    cfg = replace(Config(), model=ModelConfig(img_size=32, embed_dim=8,
+                                              dtype=jnp.float32),
+                  loss=LossConfig(w_contrast=0.0))
+    trainer = Trainer(cfg, steps_per_epoch=1)
+    rng = np.random.default_rng(0)
+    clean = rng.uniform(size=(8, 32, 32, 3)).astype(np.float32)
+    hazy = np.clip(clean + 0.1, 0, 1).astype(np.float32)
+    key = jax.random.PRNGKey(0)
+
+    s0 = trainer.init_state(jax.random.PRNGKey(5), clean[:1])
+    s_single, m_single = trainer.train_step(s0, clean, hazy, key,
+                                            use_mixup=False)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4),
+                ("replica", "data"))
+    rsh = NamedSharding(mesh, P())
+    bsh = NamedSharding(mesh, P(("replica", "data")))
+    s0b = trainer.init_state(jax.random.PRNGKey(5), clean[:1])
+    s0b = jax.device_put(s0b, rsh)
+    s_multi, m_multi = trainer.train_step(
+        s0b, jax.device_put(clean, bsh), jax.device_put(hazy, bsh), key,
+        use_mixup=False)
+    np.testing.assert_allclose(float(m_single["loss"]),
+                               float(m_multi["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s_single.params),
+                    jax.tree.leaves(s_multi.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-6)
