@@ -19,6 +19,7 @@ from dehaze_tpu.config import Config
 from dehaze_tpu.data.pipeline import PairedFolder, prefetch_to_device, train_batches
 from dehaze_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
 from dehaze_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+from dehaze_tpu.train.schedule import make_epoch_lr, resume_cosine_lr
 from dehaze_tpu.train.trainer import Trainer
 from dehaze_tpu.utils.logging import RunLogger
 
@@ -62,21 +63,36 @@ def fit(cfg: Config, log_dir: Optional[str] = None) -> Tuple[float, str]:
     steps_per_epoch = max(1, -(-len(train_folder) // d.batch_size))
 
     mesh = make_mesh(t.data_axis) if (t.data_axis or 0) > 1 else None
-    trainer = Trainer(cfg, steps_per_epoch, mesh=mesh)
+
+    # Resume semantics follow the reference (`My_train.py:102-117` +
+    # `utils/model_utils.py:72-77`): restore params AND optimizer moments,
+    # restart from the checkpointed epoch+1 with a FRESH cosine over the
+    # remaining epochs, starting at the lr the original schedule had reached.
+    # (The optimizer's restored step count maps to the absolute 0-based
+    # epoch, assuming the resumed run keeps the same steps_per_epoch.)
+    epoch_lr = None
+    start_epoch = 1
+    if t.resume and t.pretrain_weights:
+        from dehaze_tpu.train.checkpoint import load_start_epoch
+
+        start_epoch = load_start_epoch(t.pretrain_weights) + 1
+        resumed_lr = make_epoch_lr(t)(start_epoch - 1)
+        base_lr = resume_cosine_lr(t, start_epoch, resumed_lr)
+        epoch_lr = lambda e0: base_lr(e0 + 1)  # e0 is 0-based absolute epoch
+
+    trainer = Trainer(cfg, steps_per_epoch, mesh=mesh, epoch_lr=epoch_lr)
 
     rng = jax.random.PRNGKey(t.seed)
     rng, init_rng = jax.random.split(rng)
     sample = np.zeros((d.batch_size, d.train_ps, d.train_ps, 3), np.float32)
     state = trainer.init_state(init_rng, sample[:1])
 
-    start_epoch = 1
     if t.resume and t.pretrain_weights:
         epoch, params, opt_state, _ = load_checkpoint(
             t.pretrain_weights, state.params, state.opt_state
         )
         state = state.replace(params=params,
                               opt_state=opt_state or state.opt_state)
-        start_epoch = epoch + 1
         logger.text(f"==> Resuming from epoch {start_epoch}")
 
     if mesh is not None:

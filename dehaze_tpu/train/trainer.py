@@ -45,8 +45,9 @@ class TrainState:
     opt_state: Any
 
 
-def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransformation:
-    epoch_lr = make_epoch_lr(cfg.train)
+def make_optimizer(cfg: Config, steps_per_epoch: int,
+                   epoch_lr=None) -> optax.GradientTransformation:
+    epoch_lr = epoch_lr or make_epoch_lr(cfg.train)
     sched = lr_schedule_from_epoch_fn(epoch_lr, steps_per_epoch)
     t = cfg.train
     if t.optimizer.lower() == "adam":
@@ -59,11 +60,12 @@ def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransform
 class Trainer:
     """Owns model/vgg/optimizer and the jitted train/eval steps."""
 
-    def __init__(self, cfg: Config, steps_per_epoch: int, mesh=None):
+    def __init__(self, cfg: Config, steps_per_epoch: int, mesh=None,
+                 epoch_lr=None):
         self.cfg = cfg
         self.mesh = mesh
         self.model = get_arch(cfg.model)
-        self.tx = make_optimizer(cfg, steps_per_epoch)
+        self.tx = make_optimizer(cfg, steps_per_epoch, epoch_lr)
 
         self.use_cr = cfg.loss.w_contrast > 0
         self.vgg = None
