@@ -113,3 +113,36 @@ def test_generate_patches(tiny_dataset, tmp_path):
     assert len(gt) == len(hz) == 12
     img = load_img(os.path.join(tar, "gt", gt[0]))
     assert img.shape == (16, 16, 3)
+
+
+def test_gaussian_train_batches(tiny_dataset):
+    from dehaze_tpu.data.pipeline import gaussian_train_batches
+
+    gt_dir = os.path.join(tiny_dataset, "gt")
+    batches = list(gaussian_train_batches(
+        gt_dir, batch_size=2, patch_size=16, seed=3, epoch=0, noise_level=10,
+        num_workers=2))
+    assert len(batches) == 2
+    c, n = batches[0]
+    assert c.shape == (2, 16, 16, 3) and n.shape == (2, 16, 16, 3)
+    # noisy differs from clean but stays in range and close (sigma 10/255)
+    assert 0 < np.abs(n - c).mean() < 0.1
+    assert n.min() >= 0 and n.max() <= 1
+
+
+def test_test_images_iterators(tiny_dataset, tmp_path):
+    from dehaze_tpu.data.pipeline import test_images
+
+    # DataLoaderTest layout: rgb_dir/HAZY/*.png
+    os.makedirs(tmp_path / "HAZY")
+    rng = np.random.default_rng(5)
+    for i in range(2):
+        save_img(str(tmp_path / "HAZY" / f"{i}.png"),
+                 rng.uniform(size=(12, 12, 3)).astype(np.float32))
+    items = list(test_images(str(tmp_path)))
+    assert len(items) == 2
+    img, name = items[0]
+    assert img.shape == (12, 12, 3) and name.endswith(".png")
+    # DataLoaderTestSR layout: flat dir (subdir='')
+    flat = list(test_images(str(tmp_path / "HAZY"), subdir=""))
+    assert len(flat) == 2
