@@ -139,16 +139,7 @@ def probsparse_attention(
     m_max = jnp.max(
         jnp.where(cnt[None, None] > 0, scores, jnp.float32(-1e30)), axis=-1
     )
-    # Σ_c S[n,c]·CNT[n,c] = Σ_d q[n,d]·(CNT·k)[n,d]: one small MXU contraction
-    # instead of another full pass over the [B, H, N, N] scores tensor.
-    if token_major:
-        t = jnp.einsum("nm,bmhd->bnhd", cnt.astype(k.dtype), k,
-                       preferred_element_type=acc_t)
-        m_sum = jnp.sum(q.astype(acc_t) * t, axis=-1).transpose(0, 2, 1)
-    else:
-        t = jnp.einsum("nm,bhmd->bhnd", cnt.astype(k.dtype), k,
-                       preferred_element_type=acc_t)
-        m_sum = jnp.sum(q.astype(acc_t) * t, axis=-1)
+    m_sum = jnp.einsum("bhnm,nm->bhn", scores, cnt, preferred_element_type=acc_t)
     m = m_max - m_sum / N  # [B, H, N]
     # top-u by lexicographic rank (value desc, index asc — same tie order as
     # lax.top_k / torch.topk), sort-free:
