@@ -53,3 +53,38 @@ def load_start_epoch(path: str) -> int:
     with open(path, "rb") as f:
         payload = serialization.msgpack_restore(f.read())
     return int(payload["epoch"])
+
+
+# --------------------------------------------------------------- orbax backend
+# Directory-based Orbax checkpoints for multi-host / async workflows. The
+# msgpack files above stay the default (single-file, torch-checkpoint-shaped);
+# these carry the same logical contents {epoch, params, opt_state, extra}.
+
+def save_checkpoint_orbax(path: str, epoch: int, params: Any,
+                          opt_state: Any = None,
+                          extra: Optional[Dict] = None) -> None:
+    import orbax.checkpoint as ocp
+
+    payload = {"params": params}
+    if opt_state is not None:
+        payload["opt_state"] = opt_state
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), payload, force=True)
+    with open(os.path.join(os.path.abspath(path), "meta.json"), "w") as f:
+        json.dump({"epoch": epoch, "extra": extra or {}}, f)
+
+
+def load_checkpoint_orbax(path: str, params_template: Any,
+                          opt_state_template: Any = None
+                          ) -> Tuple[int, Any, Any, Dict]:
+    import orbax.checkpoint as ocp
+
+    template = {"params": params_template}
+    if opt_state_template is not None:
+        template["opt_state"] = opt_state_template
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(os.path.abspath(path), template)
+    with open(os.path.join(os.path.abspath(path), "meta.json")) as f:
+        meta = json.load(f)
+    return (int(meta["epoch"]), restored["params"],
+            restored.get("opt_state"), meta.get("extra", {}))

@@ -101,3 +101,21 @@ def test_checkpoint_roundtrip(tmp_path, batch):
     # optimizer state restored too (`utils/model_utils.py:72-77` parity)
     for a, b in zip(jax.tree.leaves(opt_state), jax.tree.leaves(state.opt_state)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path, batch):
+    from dehaze_tpu.train.checkpoint import (load_checkpoint_orbax,
+                                             save_checkpoint_orbax)
+
+    clean, hazy = batch
+    trainer = Trainer(tiny_config(), steps_per_epoch=1)
+    state = trainer.init_state(jax.random.PRNGKey(0), clean[:1])
+    path = str(tmp_path / "orbax_ckpt")
+    save_checkpoint_orbax(path, 3, state.params, state.opt_state,
+                          extra={"psnr": 20.0})
+    epoch, params, opt_state, extra = load_checkpoint_orbax(
+        path, state.params, state.opt_state)
+    assert epoch == 3 and extra["psnr"] == 20.0
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert opt_state is not None
