@@ -27,6 +27,8 @@ def add_common_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
                    help="ablation: disable relative position bias "
                         "(reference options.py:5)")
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument("--ffa_gps", type=int, default=3)
+    p.add_argument("--ffa_blocks", type=int, default=19)
     # loss
     p.add_argument("--is_ab", action="store_true",
                    help="CR ablation: drop the negative term")
@@ -64,6 +66,7 @@ def config_from_args(a: argparse.Namespace) -> Config:
             win_size=a.win_size, token_projection=a.token_projection,
             token_mlp=a.token_mlp, attention=a.attention,
             use_rel_pos_bias=not a.no_rel_pos_bias, dtype=dtype,
+            ffa_gps=a.ffa_gps, ffa_blocks=a.ffa_blocks,
         ),
         loss=LossConfig(
             w_charbonnier=a.w_loss_CharbonnierLoss, w_contrast=a.w_loss_vgg7,
