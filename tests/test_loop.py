@@ -53,10 +53,9 @@ def test_fit_then_resume(tiny_ds, tmp_path):
         pretrain_weights=os.path.join(model_dir, "epoch_model_2.msgpack")))
     best2, _ = fit(cfg2)
     assert np.isfinite(best2)
-    # resumed run produced the later epoch checkpoints
+    # resumed run starts at epoch 3 and produces the later checkpoints
+    assert os.path.exists(os.path.join(model_dir, "epoch_model_3.msgpack"))
     assert os.path.exists(os.path.join(model_dir, "epoch_model_4.msgpack"))
-    assert not os.path.exists(os.path.join(model_dir, "epoch_model_1.msgpack")
-                              ) or True  # epoch 1 from the first run is fine
 
 
 def test_ffa_trainer_steps():
