@@ -28,6 +28,10 @@ def main():
     p.add_argument("--save_images", action="store_true", default=True)
     args = p.parse_args()
     cfg = config_from_args(args)
+    if cfg.model.arch != "uformer":
+        raise SystemExit("test_anyres is Uformer-only: the pad-mask input "
+                         "path exists only in the Uformer (reference "
+                         "test_in_any_resolution.py parity)")
 
     model = get_arch(cfg.model)
     key = jax.random.PRNGKey(0)

@@ -80,3 +80,26 @@ def test_ffa_trainer_steps():
     np.testing.assert_allclose(np.asarray(z)[0, 0, 0],
                                -np.array([0.64, 0.60, 0.58]) /
                                np.array([0.14, 0.15, 0.152]), rtol=1e-5)
+
+
+def test_ffa_trainer_perceptual_path():
+    from dehaze_tpu.train.ffa_trainer import FFATrainer
+
+    rng = np.random.default_rng(1)
+    clean = rng.uniform(size=(1, 32, 32, 3)).astype(np.float32)
+    hazy = np.clip(clean + 0.1, 0, 1).astype(np.float32)
+    trainer = FFATrainer(gps=3, blocks=1, lr=1e-3, total_steps=4,
+                         perceptual=True)
+    state = trainer.init_state(jax.random.PRNGKey(0), clean)
+    state, loss = trainer.train_step(state, clean, hazy)
+    assert np.isfinite(float(loss))
+
+
+def test_monitor_smoke():
+    import time
+
+    from dehaze_tpu.utils.monitor import start_background_monitor
+
+    stop = start_background_monitor(interval=0.2)
+    time.sleep(0.5)
+    stop.set()
