@@ -29,6 +29,13 @@ def make_mesh(num_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     """1-D data-parallel mesh over the first `num_devices` devices."""
     devs = jax.devices()
     if num_devices is not None:
+        if num_devices > len(devs):
+            raise ValueError(
+                f"requested a {num_devices}-device mesh but only "
+                f"{len(devs)} device(s) are visible; for CPU simulation set "
+                f"XLA_FLAGS=--xla_force_host_platform_device_count="
+                f"{num_devices}"
+            )
         devs = devs[:num_devices]
     return Mesh(np.array(devs), (axis,))
 
