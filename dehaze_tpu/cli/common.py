@@ -19,8 +19,12 @@ def add_common_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
     p.add_argument("--arch", default="uformer", choices=["uformer", "ffa", "unet"])
     p.add_argument("--embed_dim", type=int, default=32)
     p.add_argument("--win_size", type=int, default=8)
-    p.add_argument("--token_projection", default="linear")
+    p.add_argument("--token_projection", default="linear",
+                   choices=["linear", "conv", "linear_concat"])
     p.add_argument("--token_mlp", default="leff", choices=["leff", "ffn"])
+    p.add_argument("--se_layer", action="store_true",
+                   help="squeeze-excite after attention proj "
+                        "(attention='full' only, My_model.py:422)")
     p.add_argument("--attention", default="probsparse",
                    choices=["probsparse", "full"])
     p.add_argument("--no_rel_pos_bias", action="store_true",
@@ -64,7 +68,7 @@ def config_from_args(a: argparse.Namespace) -> Config:
         model=ModelConfig(
             arch=a.arch, img_size=a.train_ps, embed_dim=a.embed_dim,
             win_size=a.win_size, token_projection=a.token_projection,
-            token_mlp=a.token_mlp, attention=a.attention,
+            token_mlp=a.token_mlp, se_layer=a.se_layer, attention=a.attention,
             use_rel_pos_bias=not a.no_rel_pos_bias, dtype=dtype,
             ffa_gps=a.ffa_gps, ffa_blocks=a.ffa_blocks,
         ),

@@ -31,6 +31,9 @@ def main():
     p.add_argument("--bs", type=int, default=2)
     p.add_argument("--crop_size", type=int, default=240)
     p.add_argument("--perloss", action="store_true")
+    p.add_argument("--vgg_weights", default=None,
+                   help="converted VGG16 .npz for --perloss "
+                        "(see cli.convert_vgg); random-init VGG otherwise")
     p.add_argument("--no_normalize", action="store_true")
     p.add_argument("--model_dir", default="./FFA_pretrain_weight")
     p.add_argument("--seed", type=int, default=1234)
@@ -38,9 +41,10 @@ def main():
 
     trainer = FFATrainer(gps=a.gps, blocks=a.blocks, lr=a.lr,
                          total_steps=a.steps, perceptual=a.perloss,
-                         normalize=not a.no_normalize)
+                         normalize=not a.no_normalize,
+                         vgg_weights=a.vgg_weights)
     folder = PairedFolder(a.train_dir)
-    val = _val_batches(PairedFolder(a.val_dir), a.crop_size, a.bs)
+    val, n_val = _val_batches(PairedFolder(a.val_dir), a.crop_size, a.bs)
 
     sample = np.zeros((a.bs, a.crop_size, a.crop_size, 3), np.float32)
     state = trainer.init_state(jax.random.PRNGKey(a.seed), sample[:1])
@@ -63,7 +67,8 @@ def main():
         print(f"\rtrain loss: {float(loss):.5f} | step {step}/{a.steps}",
               end="", flush=True)
         if step % a.eval_step == 0:
-            psnr, ssim = trainer.evaluate(state.params, iter(val))
+            psnr, ssim = trainer.evaluate(state.params, iter(val),
+                                          n_valid=n_val)
             history["psnrs"].append(psnr)
             history["ssims"].append(ssim)
             print(f"\nstep {step}: PSNR {psnr:.4f} SSIM {ssim:.4f}")

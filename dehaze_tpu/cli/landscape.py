@@ -52,8 +52,11 @@ def main():
     vgg = vgg_mod.make_cr_vgg(dtype=cfg.model.dtype) if use_cr else None
     vgg_params = None
     if use_cr:
-        vgg_params = (vgg_mod.load_params_npz(vgg, cfg.loss.vgg_weights)
-                      if cfg.loss.vgg_weights else vgg_mod.init_vgg_params(vgg))
+        if cfg.loss.vgg_weights:
+            vgg_params = vgg_mod.load_params_npz(vgg, cfg.loss.vgg_weights)
+        else:
+            vgg_mod.warn_random_vgg("landscape CR loss")
+            vgg_params = vgg_mod.init_vgg_params(vgg)
 
     is_ffa = cfg.model.arch == "ffa"
 

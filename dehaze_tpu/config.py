@@ -38,8 +38,17 @@ class ModelConfig:
     drop_rate: float = 0.0
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.1
-    token_projection: str = "linear"  # "linear" | "conv"
+    # q/k/v projection (`My_model.py:407-413`): "linear" (LinearProjection),
+    # "conv" (ConvProjection, separable 3x3), "linear_concat"
+    # (LinearProjection_Concat_kv, 2N-token kv). Live in attention='full';
+    # attention='probsparse' accepts only "linear" (the reference constructs
+    # the others but never calls them — `My_model_1.py:561` forward uses
+    # ProbSpare(x,x,x) only; we refuse rather than silently drop parameters).
+    token_projection: str = "linear"
     token_mlp: str = "leff"  # "leff" | "ffn"
+    # Squeeze-excite channel gate after the attention output projection
+    # (`My_model.py:422,515`); same probsparse restriction as above.
+    se_layer: bool = False
     # Attention flavor: "probsparse" (My_model_1.py, ACTIVE in reference) or
     # "full" (W-MSA variant, My_model.py).
     attention: str = "probsparse"

@@ -156,6 +156,55 @@ class DepthwiseConv3x3(nn.Module):
         return dwconv3x3(x.astype(self.dtype), kernel.astype(self.dtype), bias)
 
 
+class SELayer(nn.Module):
+    """Squeeze-excite channel gate over tokens (`My_model.py:167-185`):
+    mean over N → Dense(C/r, no bias) → ReLU → Dense(C, no bias) → sigmoid,
+    multiplied back per channel. Applied after the attention output
+    projection when se_layer=True (`My_model.py:515`)."""
+
+    channels: int
+    reduction: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [B, N, C]
+        y = jnp.mean(x.astype(jnp.float32), axis=1)  # [B, C]
+        # exact C//reduction, even when it is 0 (torch builds a zero-width
+        # Linear for C < reduction and the gate degenerates to sigmoid(0)=.5;
+        # converted checkpoints carry that [C,0] kernel)
+        # trunc_init (not fan-based lecun) — variance-scaling init divides by
+        # fan_out=0 on the zero-width kernel even at shape-check time
+        y = nn.Dense(self.channels // self.reduction, use_bias=False,
+                     kernel_init=trunc_init, dtype=self.dtype,
+                     name="fc1")(y.astype(self.dtype))
+        y = nn.relu(y)
+        y = nn.Dense(self.channels, use_bias=False, kernel_init=trunc_init,
+                     dtype=self.dtype, name="fc2")(y)
+        y = jax.nn.sigmoid(y.astype(jnp.float32)).astype(x.dtype)
+        return x * y[:, None, :]
+
+
+class SepConv2d(nn.Module):
+    """Separable conv: depthwise kxk + ReLU + pointwise 1x1
+    (`My_model.py:188-218`; both convs carry bias — the reference's `bias`
+    ctor arg is positionally swallowed by `dilation`, `My_model.py:252-254`,
+    so torch's Conv2d bias default applies)."""
+
+    features: int
+    kernel_size: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # NHWC
+        c_in = x.shape[-1]
+        x = nn.Conv(c_in, (self.kernel_size, self.kernel_size),
+                    padding="SAME", feature_group_count=c_in,
+                    dtype=self.dtype, name="depthwise")(x)
+        x = nn.relu(x)
+        return nn.Conv(self.features, (1, 1), dtype=self.dtype,
+                       name="pointwise")(x)
+
+
 class LayerNorm(nn.Module):
     """LayerNorm over the channel axis, f32 statistics (torch eps=1e-5)."""
 

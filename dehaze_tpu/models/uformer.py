@@ -62,6 +62,8 @@ class WindowAttention(nn.Module):
     factor: int = 5
     use_rel_pos_bias: bool = True
     qkv_bias: bool = True
+    token_projection: str = "linear"
+    se_layer: bool = False
     use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -76,6 +78,24 @@ class WindowAttention(nn.Module):
         b, n, c = x.shape
         h = self.num_heads
         d = c // h
+
+        if self.token_projection not in ("linear", "conv", "linear_concat"):
+            raise ValueError(
+                f"unknown token_projection {self.token_projection!r}; "
+                "expected 'linear' | 'conv' | 'linear_concat'"
+            )
+        if self.flavor == "probsparse" and (
+            self.token_projection != "linear" or self.se_layer
+        ):
+            # The reference's ProbSparse model CONSTRUCTS these modules but
+            # its forward never calls them (`My_model_1.py:556-561` returns
+            # ProbSpare(x, x, x) directly, no qkv/proj/se). Accepting the
+            # flags here would silently train a different model than asked.
+            raise ValueError(
+                "token_projection='conv'/'linear_concat' and se_layer are "
+                "only live in attention='full' (the reference's ProbSparse "
+                "forward ignores them, My_model_1.py:556-561)"
+            )
 
         table = None
         if self.use_rel_pos_bias:
@@ -135,16 +155,49 @@ class WindowAttention(nn.Module):
                             name="out")(out)
 
         # flavor == "full": W-MSA (My_model.py:428-518)
-        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, kernel_init=trunc_init,
-                       dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(b, n, 3, h, d)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        if self.token_projection == "conv":
+            # ConvProjection (`My_model.py:241-274`): separable 3x3 conv per
+            # q/k/v over the window as a sqrt(N) x sqrt(N) spatial tile.
+            from dehaze_tpu.models.layers import SepConv2d
+
+            side = int(round(n ** 0.5))
+            xs = x.reshape(b, side, side, c)
+            q, k, v = (
+                SepConv2d(c, dtype=self.dtype, name=f"to_{t}")(xs)
+                .reshape(b, n, h, d)
+                for t in ("q", "k", "v")
+            )
+        elif self.token_projection == "linear_concat":
+            # LinearProjection_Concat_kv (`My_model.py:308-331`): kv is the
+            # 2N-token concat of two independent projections; the rel-pos
+            # bias / SW mask are widened by the reference's interleaved
+            # `repeat('... c -> ... (c d)')` ratio mechanism
+            # (`My_model.py:500,518`) — preserved in full_window_attention.
+            qkv = nn.Dense(3 * c, use_bias=self.qkv_bias,
+                           kernel_init=trunc_init, dtype=self.dtype,
+                           name="to_qkv")(x).reshape(b, n, 3, h, d)
+            kv = nn.Dense(2 * c, use_bias=self.qkv_bias,
+                          kernel_init=trunc_init, dtype=self.dtype,
+                          name="to_kv")(x).reshape(b, n, 2, h, d)
+            q = qkv[:, :, 0]
+            k = jnp.concatenate([qkv[:, :, 1], kv[:, :, 0]], axis=1)
+            v = jnp.concatenate([qkv[:, :, 2], kv[:, :, 1]], axis=1)
+        else:
+            qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, kernel_init=trunc_init,
+                           dtype=self.dtype, name="qkv")(x)
+            qkv = qkv.reshape(b, n, 3, h, d)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         out = ps_ops.full_window_attention(
             q, k, v, rel_pos_bias=bias, sw_region=sw_region, pad_flag=pad_flag,
             layout="bnhd",
         )
         out = out.reshape(b, n, c)
-        return nn.Dense(c, kernel_init=trunc_init, dtype=self.dtype, name="proj")(out)
+        out = nn.Dense(c, kernel_init=trunc_init, dtype=self.dtype, name="proj")(out)
+        if self.se_layer:
+            from dehaze_tpu.models.layers import SELayer
+
+            out = SELayer(c, dtype=self.dtype, name="se_layer")(out)
+        return out
 
 
 class LeWinBlock(nn.Module):
@@ -168,6 +221,8 @@ class LeWinBlock(nn.Module):
     attention: str = "probsparse"
     factor: int = 5
     use_rel_pos_bias: bool = True
+    token_projection: str = "linear"
+    se_layer: bool = False
     use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -219,6 +274,8 @@ class LeWinBlock(nn.Module):
             factor=self.factor,
             use_rel_pos_bias=self.use_rel_pos_bias,
             qkv_bias=self.qkv_bias,
+            token_projection=self.token_projection,
+            se_layer=self.se_layer,
             use_pallas=self.use_pallas,
             dtype=self.dtype,
             name="attn",
@@ -258,6 +315,8 @@ class UformerStage(nn.Module):
     factor: int
     use_rel_pos_bias: bool
     use_shift: bool
+    token_projection: str = "linear"
+    se_layer: bool = False
     use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -280,6 +339,8 @@ class UformerStage(nn.Module):
                 attention=self.attention,
                 factor=self.factor,
                 use_rel_pos_bias=self.use_rel_pos_bias,
+                token_projection=self.token_projection,
+                se_layer=self.se_layer,
                 use_pallas=self.use_pallas,
                 dtype=self.dtype,
                 name=f"block_{i}",
@@ -336,6 +397,8 @@ class Uformer(nn.Module):
                 factor=cfg.probsparse_factor,
                 use_rel_pos_bias=cfg.use_rel_pos_bias,
                 use_shift=cfg.use_shift,
+                token_projection=cfg.token_projection,
+                se_layer=cfg.se_layer,
                 use_pallas=cfg.use_pallas,
                 dtype=cfg.dtype,
                 name=name,

@@ -99,6 +99,26 @@ def make_perceptual_vgg(dtype=jnp.float32) -> VGGFeatures:
     return VGGFeatures(arch="vgg16", slices=VGG16_PERCEPTUAL_SLICES, dtype=dtype)
 
 
+def warn_random_vgg(where: str) -> None:
+    """Loud warning for the random-VGG fallback.
+
+    The reference trains CR/perceptual losses against torchvision's
+    PRETRAINED VGG (`My_CR.py:60`, `FFA_model/main.py:184-186`); without a
+    converted `.npz` this framework substitutes a fixed-seed random VGG — a
+    valid random-projection contrastive regularizer, but NOT the published
+    recipe, so losses/PSNR will differ from the thesis numbers.
+    """
+    import warnings
+
+    warnings.warn(
+        f"{where}: no --vgg_weights given — falling back to a FIXED-SEED "
+        "RANDOM VGG feature extractor. This differs from the reference's "
+        "pretrained-VGG loss; convert torchvision weights with "
+        "`python -m dehaze_tpu.cli.convert_vgg` for parity.",
+        UserWarning, stacklevel=3,
+    )
+
+
 def init_vgg_params(model: VGGFeatures, seed: int = 0, image_hw: int = 64):
     """Deterministic init (fixed seed) — used when no converted weights exist."""
     k = jax.random.PRNGKey(seed)

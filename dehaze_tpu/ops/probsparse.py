@@ -205,19 +205,31 @@ def full_window_attention(
     `My_model.py` WindowAttention.forward (`:428-518`) variant.
 
     softmax(q·kᵀ·scale + bias + mask) @ v. Shapes as in probsparse_attention.
+
+    kv may carry M = ratio·N tokens (token_projection='linear_concat' makes
+    M = 2N): the [.., N]-wide bias and masks are then widened by the
+    reference's interleaved `repeat('... c -> ... (c d)', d=ratio)`
+    (`My_model.py:500,518`) — note this interleaves rather than tiling, so
+    mask column j maps to kv token pair (2j, 2j+1), NOT to the concat halves;
+    quirk preserved exactly.
     """
     token_major = layout == "bnhd"
     if token_major:
         B, N, H, D = q.shape
+        M = k.shape[1]
         qk_eq, pv_eq = "bnhd,bmhd->bhnm", "bhnm,bmhd->bnhd"
     else:
         B, H, N, D = q.shape
+        M = k.shape[2]
         qk_eq, pv_eq = "bhnd,bhmd->bhnm", "bhnm,bhmd->bhnd"
     if scale is None:
         scale = 1.0 / math.sqrt(D)
+    ratio = M // N
     acc_t = jnp.float32
     scores = jnp.einsum(qk_eq, q, k, preferred_element_type=acc_t) * scale
     if rel_pos_bias is not None:
+        if rel_pos_bias.shape[-1] != M:
+            rel_pos_bias = jnp.repeat(rel_pos_bias, ratio, axis=-1)
         scores = scores + rel_pos_bias[None].astype(acc_t)
     if sw_region is not None and sw_mask is None:
         sw_mask = region_mask(sw_region)
@@ -227,11 +239,13 @@ def full_window_attention(
                              jnp.float32(-100.0), jnp.float32(0.0))
         sw_mask = pad_mask if sw_mask is None else sw_mask + pad_mask
     if sw_mask is not None:
+        if sw_mask.shape[-1] != M:
+            sw_mask = jnp.repeat(sw_mask, ratio, axis=-1)
         nW = sw_mask.shape[0]
-        scores = scores.reshape(B // nW, nW, H, N, N) + sw_mask[None, :, None].astype(
+        scores = scores.reshape(B // nW, nW, H, N, M) + sw_mask[None, :, None].astype(
             acc_t
         )
-        scores = scores.reshape(B, H, N, N)
+        scores = scores.reshape(B, H, N, M)
     attn = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum(
         pv_eq, attn.astype(v.dtype), v, preferred_element_type=acc_t

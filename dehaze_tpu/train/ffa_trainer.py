@@ -56,8 +56,11 @@ class FFATrainer:
         self.vgg_params = None
         if perceptual:
             self.vgg = vgg_mod.make_perceptual_vgg(dtype=dtype)
-            self.vgg_params = (vgg_mod.load_params_npz(self.vgg, vgg_weights)
-                               if vgg_weights else vgg_mod.init_vgg_params(self.vgg))
+            if vgg_weights:
+                self.vgg_params = vgg_mod.load_params_npz(self.vgg, vgg_weights)
+            else:
+                vgg_mod.warn_random_vgg("FFA perceptual loss")
+                self.vgg_params = vgg_mod.init_vgg_params(self.vgg)
         self._step = jax.jit(self._step_impl, donate_argnums=(0,))
         self._eval = jax.jit(self._eval_impl)
 
@@ -99,10 +102,15 @@ class FFATrainer:
         out = jnp.clip(self._forward(params, hazy), 0.0, 1.0)
         return M.batch_psnr(out, clean), M.batch_ssim(out, clean)
 
-    def evaluate(self, params, batches: Iterator[Tuple[np.ndarray, np.ndarray]]):
+    def evaluate(self, params, batches: Iterator[Tuple[np.ndarray, np.ndarray]],
+                 n_valid: Optional[int] = None):
+        """Async-dispatched eval sweep, one device sync at the end; `n_valid`
+        drops wrap-padded tail rows from the means (see `loop._val_batches`)."""
         ps, ss = [], []
         for clean, hazy in batches:
             p, s = self._eval(params, jnp.asarray(clean), jnp.asarray(hazy))
-            ps.append(np.asarray(p))
-            ss.append(np.asarray(s))
-        return float(np.mean(np.concatenate(ps))), float(np.mean(np.concatenate(ss)))
+            ps.append(p)
+            ss.append(s)
+        p_all = np.concatenate(jax.device_get(ps))[:n_valid]
+        s_all = np.concatenate(jax.device_get(ss))[:n_valid]
+        return float(np.mean(p_all)), float(np.mean(s_all))

@@ -27,7 +27,13 @@ from dehaze_tpu.utils.logging import RunLogger
 def _val_batches(folder: PairedFolder, ps: int, batch_size: int, seed: int = 0):
     """Validation patches: center-crop val images to a fixed ps² so shapes are
     static (the reference's val set is pre-cropped patch files; this handles
-    both pre-cropped and whole-image val dirs)."""
+    both pre-cropped and whole-image val dirs).
+
+    Returns (batches, n_images). Every batch has exactly `batch_size` rows —
+    a ragged final batch is padded by wrapping to index 0 (same policy as
+    `train_batches`) so eval compiles ONE program; pass `n_images` as
+    `Trainer.evaluate(..., n_valid=)` to keep the metric means exact.
+    """
     from dehaze_tpu.data.images import load_img
 
     items_c, items_n = [], []
@@ -40,12 +46,14 @@ def _val_batches(folder: PairedFolder, ps: int, batch_size: int, seed: int = 0):
             ci, ni = ci[r : r + ps, s : s + ps], ni[r : r + ps, s : s + ps]
         items_c.append(ci)
         items_n.append(ni)
+    n_images = len(items_c)
     batches = []
-    for i in range(0, len(items_c), batch_size):
-        bc = np.stack(items_c[i : i + batch_size])
-        bn = np.stack(items_n[i : i + batch_size])
+    for i in range(0, n_images, batch_size):
+        idx = [(i + j) % n_images for j in range(batch_size)]
+        bc = np.stack([items_c[j] for j in idx])
+        bn = np.stack([items_n[j] for j in idx])
         batches.append((bc, bn))
-    return batches
+    return batches, n_images
 
 
 def fit(cfg: Config, log_dir: Optional[str] = None) -> Tuple[float, str]:
@@ -99,8 +107,8 @@ def fit(cfg: Config, log_dir: Optional[str] = None) -> Tuple[float, str]:
         state = jax.device_put(state, replicated(mesh))
         bsh = batch_sharding(mesh)
 
-    val = _val_batches(val_folder, d.train_ps, d.batch_size)
-    psnr0, ssim0 = trainer.evaluate(state.params, iter(val))
+    val, n_val = _val_batches(val_folder, d.train_ps, d.batch_size)
+    psnr0, ssim0 = trainer.evaluate(state.params, iter(val), n_valid=n_val)
     logger.text(f"Input & GT  PSNR {psnr0:.4f} dB | SSIM {ssim0:.4f}")
 
     best_psnr, best_epoch, best_iter = 0.0, 0, 0
@@ -108,7 +116,15 @@ def fit(cfg: Config, log_dir: Optional[str] = None) -> Tuple[float, str]:
 
     for epoch in range(start_epoch, t.nepoch + 1):
         t0 = time.time()
-        epoch_loss = 0.0
+        # Loss accumulates ON DEVICE (a list of async scalar futures); the
+        # only host syncs between eval points are none — float() per step
+        # would stall the double-buffered prefetch (`My_train.py:253-255`
+        # prints wall-clock per epoch; we do the same but without the
+        # per-step round-trip).
+        step_losses = []
+        eval_seconds = 0.0
+        steady_t0 = None  # set after step 0 (excludes compile time)
+        steady_images = 0
         use_mixup = epoch > d.mixup_after_epoch
         it = train_batches(
             train_folder, batch_size=d.batch_size, patch_size=d.train_ps,
@@ -123,10 +139,17 @@ def fit(cfg: Config, log_dir: Optional[str] = None) -> Tuple[float, str]:
             state, metrics = trainer.train_step(
                 state, clean, hazy, step_rng, use_mixup=use_mixup
             )
-            epoch_loss += float(metrics["loss"])
+            step_losses.append(metrics["loss"])
+            if steady_t0 is None:
+                jax.block_until_ready(metrics["loss"])
+                steady_t0 = time.time()
+            else:
+                steady_images += int(clean.shape[0])
 
             if (i + 1) % eval_every == 0:
-                psnr, ssim = trainer.evaluate(state.params, iter(val))
+                te = time.time()
+                psnr, ssim = trainer.evaluate(state.params, iter(val),
+                                              n_valid=n_val)
                 if psnr > best_psnr:
                     best_psnr, best_epoch, best_iter = psnr, epoch, i
                     save_checkpoint(
@@ -140,12 +163,19 @@ def fit(cfg: Config, log_dir: Optional[str] = None) -> Tuple[float, str]:
                     f" PSNR {best_psnr:.4f}]"
                 )
                 logger.event("eval", epoch=epoch, iter=i, psnr=psnr, ssim=ssim)
+                eval_seconds += time.time() - te
 
+        # One sync at epoch end drains the async step queue, then the
+        # accumulated device scalars are fetched in a single transfer.
+        epoch_loss = float(np.sum(jax.device_get(step_losses))) if step_losses else 0.0
+        steady_s = max(time.time() - (steady_t0 or t0) - eval_seconds, 1e-9)
+        img_per_s = steady_images / steady_s if steady_images else 0.0
         logger.text(
             f"Epoch {epoch}  time {time.time() - t0:.1f}s  loss {epoch_loss:.4f}"
+            f"  steady {img_per_s:.1f} img/s"
         )
         logger.event("epoch", epoch=epoch, loss=epoch_loss,
-                     seconds=time.time() - t0)
+                     seconds=time.time() - t0, img_per_s=img_per_s)
         save_checkpoint(
             os.path.join(model_dir, f"epoch_model_{epoch}.msgpack"),
             epoch, state.params, state.opt_state,

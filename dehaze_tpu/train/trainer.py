@@ -75,6 +75,7 @@ class Trainer:
             if cfg.loss.vgg_weights:
                 self.vgg_params = vgg_mod.load_params_npz(self.vgg, cfg.loss.vgg_weights)
             else:
+                vgg_mod.warn_random_vgg("Trainer CR loss")
                 self.vgg_params = vgg_mod.init_vgg_params(self.vgg, seed=0)
 
         self._train_step = jax.jit(
@@ -167,15 +168,20 @@ class Trainer:
 
     def evaluate(
         self, params, batches: Iterator[Tuple[np.ndarray, np.ndarray]],
-        rng: Optional[jax.Array] = None,
+        rng: Optional[jax.Array] = None, n_valid: Optional[int] = None,
     ) -> Tuple[float, float]:
-        """Mean PSNR/SSIM over an iterator of (clean, hazy) batches."""
+        """Mean PSNR/SSIM over an iterator of (clean, hazy) batches.
+
+        All eval steps are dispatched asynchronously; the device syncs ONCE
+        at the end. `n_valid` drops wrap-padded tail rows (see
+        `loop._val_batches`) from the means.
+        """
         rng = jax.random.PRNGKey(0) if rng is None else rng
         psnrs, ssims = [], []
         for clean, hazy in batches:
             p, s, _ = self._eval_step(params, jnp.asarray(clean), jnp.asarray(hazy), rng)
-            psnrs.append(np.asarray(p))
-            ssims.append(np.asarray(s))
-        return float(np.mean(np.concatenate(psnrs))), float(
-            np.mean(np.concatenate(ssims))
-        )
+            psnrs.append(p)
+            ssims.append(s)
+        p_all = np.concatenate(jax.device_get(psnrs))[:n_valid]
+        s_all = np.concatenate(jax.device_get(ssims))[:n_valid]
+        return float(np.mean(p_all)), float(np.mean(s_all))

@@ -50,7 +50,16 @@ def _ln(sd, key):
     }
 
 
-def _block(sd, prefix: str, attention: str) -> Dict[str, Any]:
+def _sepconv(sd, key):
+    """SepConv2d (My_model.py:188-218): depthwise kxk + pointwise 1x1."""
+    return {
+        "depthwise": _conv(sd, f"{key}.depthwise"),
+        "pointwise": _conv(sd, f"{key}.pointwise"),
+    }
+
+
+def _block(sd, prefix: str, attention: str, token_projection: str = "linear",
+           se_layer: bool = False) -> Dict[str, Any]:
     out: Dict[str, Any] = {
         "norm1": _ln(sd, f"{prefix}.norm1"),
         "norm2": _ln(sd, f"{prefix}.norm2"),
@@ -72,6 +81,16 @@ def _block(sd, prefix: str, attention: str) -> Dict[str, Any]:
         attn["key"] = _lin(sd, f"{prefix}.attn.ProbSpare.key_projection")
         attn["value"] = _lin(sd, f"{prefix}.attn.ProbSpare.value_projection")
         attn["out"] = _lin(sd, f"{prefix}.attn.ProbSpare.out_projection")
+    elif token_projection == "conv":
+        # ConvProjection: three SepConv2d stacks (My_model.py:241-254)
+        for t in ("to_q", "to_k", "to_v"):
+            attn[t] = _sepconv(sd, f"{prefix}.attn.qkv.{t}")
+        attn["proj"] = _lin(sd, f"{prefix}.attn.proj")
+    elif token_projection == "linear_concat":
+        # LinearProjection_Concat_kv (My_model.py:308-316)
+        attn["to_qkv"] = _lin(sd, f"{prefix}.attn.qkv.to_qkv")
+        attn["to_kv"] = _lin(sd, f"{prefix}.attn.qkv.to_kv")
+        attn["proj"] = _lin(sd, f"{prefix}.attn.proj")
     else:
         # W-MSA LinearProjection: to_q [C,C] + to_kv [2C,C] → fused qkv [C,3C]
         q = _lin(sd, f"{prefix}.attn.qkv.to_q")
@@ -81,13 +100,24 @@ def _block(sd, prefix: str, attention: str) -> Dict[str, Any]:
             "bias": np.concatenate([q["bias"], kv["bias"]], axis=0),
         }
         attn["proj"] = _lin(sd, f"{prefix}.attn.proj")
+    if se_layer and attention != "probsparse":
+        # SELayer fc stack, bias-free Linears (My_model.py:171-176)
+        attn["se_layer"] = {
+            "fc1": {"kernel": np.ascontiguousarray(
+                sd[f"{prefix}.attn.se_layer.fc.0.weight"].T)},
+            "fc2": {"kernel": np.ascontiguousarray(
+                sd[f"{prefix}.attn.se_layer.fc.2.weight"].T)},
+        }
     out["attn"] = attn
     return out
 
 
-def _stage(sd, prefix: str, depth: int, attention: str) -> Dict[str, Any]:
+def _stage(sd, prefix: str, depth: int, attention: str,
+           token_projection: str = "linear",
+           se_layer: bool = False) -> Dict[str, Any]:
     return {
-        f"block_{j}": _block(sd, f"{prefix}.blocks.{j}", attention)
+        f"block_{j}": _block(sd, f"{prefix}.blocks.{j}", attention,
+                             token_projection, se_layer)
         for j in range(depth)
     }
 
@@ -97,6 +127,8 @@ def convert_uformer_state_dict(
     *,
     depths=(2,) * 9,
     attention: str = "probsparse",
+    token_projection: str = "linear",
+    se_layer: bool = False,
 ) -> Dict[str, Any]:
     """torch state_dict (tensors or ndarrays) → dehaze_tpu Uformer params."""
     sd = {}
@@ -109,16 +141,17 @@ def convert_uformer_state_dict(
     params: Dict[str, Any] = {
         "input_proj": {"proj": _conv(sd, "input_proj.proj.0")},
         "output_proj": {"proj": _conv(sd, "output_proj.proj.0")},
-        "bottleneck": _stage(sd, "conv", depths[4], attention),
+        "bottleneck": _stage(sd, "conv", depths[4], attention,
+                             token_projection, se_layer),
     }
     for i in range(n_enc):
         params[f"encoder_{i}"] = _stage(sd, f"encoderlayer_{i}", depths[i],
-                                        attention)
+                                        attention, token_projection, se_layer)
         # reference spells it 'dowsample' (`My_model_1.py:1012`)
         params[f"downsample_{i}"] = {"conv": _conv(sd, f"dowsample_{i}.conv.0")}
         params[f"upsample_{i}"] = {"deconv": _deconv(sd, f"upsample_{i}.deconv.0")}
         params[f"decoder_{i}"] = _stage(sd, f"decoderlayer_{i}", depths[5 + i],
-                                        attention)
+                                        attention, token_projection, se_layer)
     return params
 
 

@@ -95,6 +95,31 @@ def test_ffa_trainer_perceptual_path():
     assert np.isfinite(float(loss))
 
 
+def test_val_batches_pad_fixed_shape(tiny_ds):
+    """Ragged val sets wrap-pad to one static batch shape (no retraces), and
+    n_valid keeps the metric means exact."""
+    from dehaze_tpu.data.pipeline import PairedFolder
+    from dehaze_tpu.train.loop import _val_batches
+    from dehaze_tpu.train.trainer import Trainer
+
+    folder = PairedFolder(str(tiny_ds / "val"))  # 2 images
+    batches, n = _val_batches(folder, 32, 3)
+    assert n == 2
+    assert [b[0].shape for b in batches] == [(3, 32, 32, 3)]
+    # padded rows wrap to the start
+    np.testing.assert_array_equal(batches[0][0][2], batches[0][0][0])
+
+    cfg = _cfg(tiny_ds, "/tmp/unused")
+    trainer = Trainer(cfg, steps_per_epoch=1)
+    state = trainer.init_state(jax.random.PRNGKey(0), batches[0][0][:1])
+    p_pad, s_pad = trainer.evaluate(state.params, iter(batches), n_valid=n)
+    # reference: the two real images in one exact batch
+    p_ref, s_ref = trainer.evaluate(
+        state.params, [(batches[0][0][:2], batches[0][1][:2])])
+    assert np.isclose(p_pad, p_ref, atol=1e-5)
+    assert np.isclose(s_pad, s_ref, atol=1e-5)
+
+
 def test_monitor_smoke():
     import time
 

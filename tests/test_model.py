@@ -81,3 +81,24 @@ def test_unet_and_ffa_forward():
         out = jax.jit(lambda v, x, m=m: m.apply(v, x))(variables, x)
         assert out.shape == x.shape
         assert np.isfinite(np.asarray(out)).all()
+
+
+def test_invalid_option_combos_rejected():
+    """Unknown/ignored options fail loudly instead of silently training a
+    different model (the reference constructs-but-ignores them,
+    `My_model_1.py:556-561`)."""
+    import pytest
+
+    from dehaze_tpu.config import ModelConfig
+    from dehaze_tpu.models import get_arch
+
+    with pytest.raises(ValueError, match="unknown token_projection"):
+        get_arch(ModelConfig(token_projection="banana"))
+    with pytest.raises(ValueError, match="attention='full'"):
+        get_arch(ModelConfig(attention="probsparse", token_projection="conv"))
+    with pytest.raises(ValueError, match="attention='full'"):
+        get_arch(ModelConfig(attention="probsparse", se_layer=True))
+    # and the live combinations construct fine
+    get_arch(ModelConfig(attention="full", token_projection="conv"))
+    get_arch(ModelConfig(attention="full", token_projection="linear_concat",
+                         se_layer=True))

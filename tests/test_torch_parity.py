@@ -107,6 +107,53 @@ def test_full_model_parity_vs_reference_torch(ref_model):
     np.testing.assert_allclose(yj, yt, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("projection,se", [
+    ("conv", False), ("linear_concat", False), ("linear", True),
+])
+def test_projection_variants_parity_vs_reference_torch(projection, se):
+    """ConvProjection / LinearProjection_Concat_kv / SELayer parity against
+    the reference's own W-MSA model (`My_model.py:241-331,422,515`)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dehaze_tpu.config import ModelConfig
+    from dehaze_tpu.models.uformer import Uformer
+    from dehaze_tpu.utils.convert_torch import convert_uformer_state_dict
+
+    _stub_timm()
+    sys.path.insert(0, REF)
+    import My_model
+
+    torch.manual_seed(2)
+    m = My_model.Uformer(img_size=32, embed_dim=8, win_size=8,
+                         token_projection=projection, token_mlp="leff",
+                         se_layer=se, drop_path_rate=0.0)
+    m.eval()
+    # ConvProjection passes `bias=True` positionally into Conv2d's `dilation`
+    # slot (`My_model.py:252-254`); older torch coerced True→1, this version
+    # rejects bool tuples. Normalize to the dilation the reference intends.
+    for mod in m.modules():
+        if isinstance(mod, torch.nn.Conv2d) and mod.dilation == (True, True):
+            mod.dilation = (1, 1)
+
+    rng = np.random.default_rng(3)
+    x = rng.uniform(size=(2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        yt = m(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy().transpose(
+            0, 2, 3, 1)
+
+    params = convert_uformer_state_dict(
+        m.state_dict(), attention="full", token_projection=projection,
+        se_layer=se)
+    cfg = ModelConfig(img_size=32, embed_dim=8, attention="full",
+                      token_projection=projection, se_layer=se,
+                      dtype=jnp.float32, drop_path_rate=0.0)
+    yj = np.asarray(jax.jit(
+        lambda p, x: Uformer(cfg).apply({"params": p}, x)
+    )(params, jnp.asarray(x)))
+    np.testing.assert_allclose(yj, yt, rtol=2e-4, atol=2e-4)
+
+
 def test_converted_param_tree_matches_init_structure(ref_model):
     """Converted tree has exactly the structure/shapes Uformer initializes."""
     import jax
