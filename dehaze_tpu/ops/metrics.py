@@ -131,11 +131,16 @@ def ssim_gaussian(
     target: jnp.ndarray,
     win_size: int = 11,
     sigma: float = 1.5,
+    padding: str = "SAME",
 ) -> jnp.ndarray:
     """The reference's in-repo SSIM (`utils/image_utils.py:97-125`):
 
     11×11 Gaussian window, SAME padding, biased covariance, inputs clamped to
     [0,1], mean over the full map. pred/target: [H, W, C] or [B, H, W, C].
+
+    padding="VALID" restricts to fully-interior windows — the standard Wang
+    et al. formulation (tf.image.ssim-compatible; used as an executed
+    third-party cross-check in tests); "SAME" is the reference's quirk.
     """
     if pred.ndim == 3:
         pred, target = pred[None], target[None]
@@ -150,7 +155,7 @@ def ssim_gaussian(
             x,
             kern,
             window_strides=(1, 1),
-            padding="SAME",
+            padding=padding,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=c,
         )

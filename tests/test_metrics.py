@@ -87,11 +87,73 @@ def test_batch_metrics_shapes():
     )
 
 
-def test_ssim_matches_skimage_if_available():
-    skimage = pytest.importorskip("skimage.metrics")
+def test_ssim_matches_scipy_uniform_filter_oracle():
+    """Third independent SSIM path: skimage's exact algorithm written with
+    scipy.ndimage.uniform_filter (the same primitive skimage uses), vs our
+    cumsum box-filter implementation. skimage itself is not installable here
+    (zero egress); with the brute-force loop above this gives three
+    structurally-different implementations that must agree."""
+    from scipy.ndimage import uniform_filter
+
     rng = np.random.default_rng(5)
     a = rng.uniform(size=(32, 32, 3)).astype(np.float64)
     b = np.clip(a + rng.normal(scale=0.05, size=a.shape), 0, 1)
-    ref = skimage.structural_similarity(a, b, channel_axis=-1, data_range=1.0)
+
+    win, data_range = 7, 1.0
+    c1, c2 = (0.01 * data_range) ** 2, (0.03 * data_range) ** 2
+    cov_norm = win**2 / (win**2 - 1)
+    pad = (win - 1) // 2
+    vals = []
+    for c in range(3):
+        x, y = a[..., c], b[..., c]
+        ux = uniform_filter(x, size=win)
+        uy = uniform_filter(y, size=win)
+        uxx = uniform_filter(x * x, size=win)
+        uyy = uniform_filter(y * y, size=win)
+        uxy = uniform_filter(x * y, size=win)
+        vx = cov_norm * (uxx - ux * ux)
+        vy = cov_norm * (uyy - uy * uy)
+        vxy = cov_norm * (uxy - ux * uy)
+        s = ((2 * ux * uy + c1) * (2 * vxy + c2)) / (
+            (ux**2 + uy**2 + c1) * (vx + vy + c2))
+        vals.append(s[pad:-pad, pad:-pad].mean())
+    expect = np.mean(vals)
     got = float(M.ssim(jnp.asarray(a), jnp.asarray(b), data_range=1.0))
-    np.testing.assert_allclose(got, ref, rtol=1e-6)
+    np.testing.assert_allclose(got, expect, rtol=1e-6)
+
+
+def test_metrics_match_tensorflow_oracle():
+    """Executed cross-check against an independent third-party library:
+    tf.image.psnr (10·log10(max²/mse)) and tf.image.ssim (Gaussian 11x11
+    σ1.5, k1=.01 k2=.03 — the same published algorithm skimage's
+    gaussian_weights=True / the reference's `aaa.py` standalone SSIM use)."""
+    tf = pytest.importorskip("tensorflow")
+
+    rng = np.random.default_rng(6)
+    a = rng.uniform(size=(24, 24, 3)).astype(np.float32)
+    b = np.clip(a + rng.normal(scale=0.08, size=a.shape), 0, 1).astype(
+        np.float32)
+
+    tf_psnr = float(tf.image.psnr(tf.constant(a), tf.constant(b), max_val=1.0))
+    got_psnr = float(M.psnr(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(got_psnr, tf_psnr, rtol=1e-5)
+
+    tf_ssim = float(tf.image.ssim(tf.constant(a), tf.constant(b), max_val=1.0))
+    got_ssim = float(M.ssim_gaussian(jnp.asarray(a), jnp.asarray(b),
+                                     padding="VALID"))
+    np.testing.assert_allclose(got_ssim, tf_ssim, rtol=1e-4)
+
+
+def test_psnr_nonnegative_float_data_range_is_one():
+    """skimage.peak_signal_noise_ratio treats non-negative float input as
+    data_range 1 (the reference's eval calls it with no explicit range on
+    [0,1] tensors, `My_train.py:278-283`); doubling intensities must shift
+    PSNR by exactly -20·log10(2) under that fixed range, not stay constant."""
+    rng = np.random.default_rng(7)
+    a = rng.uniform(size=(16, 16, 3)).astype(np.float64) * 0.5
+    b = np.clip(a + rng.normal(scale=0.03, size=a.shape), 0, 0.5)
+    p1 = float(M.psnr(jnp.asarray(a), jnp.asarray(b)))
+    p2 = float(M.psnr(jnp.asarray(2 * a), jnp.asarray(2 * b)))
+    np.testing.assert_allclose(p1 - p2, 20 * np.log10(2), rtol=1e-5)
+    expect = 10 * np.log10(1.0 / np.mean((a - b) ** 2))
+    np.testing.assert_allclose(p1, expect, rtol=1e-6)
