@@ -6,14 +6,26 @@ crop), steady-state, on one TPU chip, and prints ONE JSON line:
 
     {"metric": "...", "value": N, "unit": "Mpix/s", "vs_baseline": N}
 
-Baseline: the reference publishes NO throughput numbers (BASELINE.md). The
-yardstick here is an estimate of the reference PyTorch stack on its rented
-A40: Uformer-32 @1664² is ~3.2 TFLOPs/frame (XLA cost analysis at 128² is
-~19 GF, ×169 tiles); at an optimistic 25% fp16 MFU on A40 (150 TFLOPs peak)
-that is ~0.085 s/frame → ~22 Mpix/s *upper bound*; the eager PyTorch
-implementation with per-window gathers/scatters and double softmax realizes
-a fraction of that — we take 25% of the bound, i.e. ~5.6 Mpix/s, as the
-baseline estimate and state it here explicitly.
+Baseline: the reference publishes NO throughput numbers (BASELINE.md), so the
+yardstick is derived, anchored by MEASUREMENT of the reference's own code
+(`cli/baseline_probe.py`, run 2026-08-16 on this host):
+
+  - reference torch My_model_1 forward @256²: 4.75 s/frame = 22.3 GF/s
+    achieved on a 2.1 GHz AVX-512 core (~134 GF/s f32 peak → 17% MFU);
+    the dehaze_tpu model on the SAME silicon runs at 0.97× torch — both
+    stacks are bandwidth-bound there (15.2 GB/s measured stream BW).
+  - eager-bytes anchor: attributing the non-compute CPU time to memory
+    gives ~60 GB f32 of eager traffic @256² → ~2.5 TB f32 ≈ 1.3 TB fp16 at
+    the 1664² square canvas → ÷ 696 GB/s A40 HBM ≈ 1.9 s/frame
+    ≈ 1.4 Mpix/s; granting half the CPU time to dispatch overhead instead
+    of bytes → ~2.9 Mpix/s. Honest eager-A40 estimate: **1–3 Mpix/s**.
+  - compute-roofline upper bound: 3.24 TF/frame ÷ (25% of 150 TF/s fp16)
+    → 22 Mpix/s — unreachable for an unfused eager stack that measures as
+    bandwidth-bound on every platform we can run it on.
+
+The official denominator stays **5.6 Mpix/s** — ~2–5× ABOVE the
+measurement-anchored eager estimate, i.e. deliberately generous to the
+reference. vs_baseline ≥ 1.0 therefore means beating a best-case A40.
 """
 
 import json
@@ -42,8 +54,9 @@ BATCH = int(os.environ.get("BENCH_BATCH", "1"))
 
 def main():
     use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
+    fast_gelu = os.environ.get("BENCH_FAST_GELU", "0") == "1"
     cfg = ModelConfig(img_size=PS, embed_dim=32, dtype=jnp.bfloat16,
-                      use_pallas=use_pallas)
+                      use_pallas=use_pallas, fast_gelu=fast_gelu)
     model = Uformer(cfg)
     key = jax.random.PRNGKey(0)
 

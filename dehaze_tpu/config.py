@@ -61,6 +61,10 @@ class ModelConfig:
     dtype: jnp.dtype = jnp.bfloat16
     # Use the fused Pallas window-attention kernel where available.
     use_pallas: bool = False
+    # tanh-approximate GELU in LeFF/Mlp (max |Δ| 4.7e-4 vs exact erf —
+    # the same error magnitude as the reference's own fp16-autocast GELU,
+    # `My_train.py:224`). Default off: exact erf, bit-parity with torch.
+    fast_gelu: bool = False
     # FFA-Net baseline knobs (`FFA_model/models/FFA.py:73`).
     ffa_gps: int = 3
     ffa_blocks: int = 19

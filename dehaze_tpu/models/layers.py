@@ -95,13 +95,14 @@ class Mlp(nn.Module):
     hidden_dim: int
     out_dim: int
     drop: float = 0.0
+    fast_gelu: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         x = nn.Dense(self.hidden_dim, kernel_init=trunc_init, dtype=self.dtype,
                      name="fc1")(x)
-        x = nn.gelu(x, approximate=False)
+        x = nn.gelu(x, approximate=self.fast_gelu)
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
         x = nn.Dense(self.out_dim, kernel_init=trunc_init, dtype=self.dtype,
                      name="fc2")(x)
@@ -118,15 +119,16 @@ class LeFF(nn.Module):
 
     hidden_dim: int
     out_dim: int
+    fast_gelu: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = nn.Dense(self.hidden_dim, kernel_init=trunc_init, dtype=self.dtype,
                      name="linear1")(x)
-        x = nn.gelu(x, approximate=False)
+        x = nn.gelu(x, approximate=self.fast_gelu)
         x = DepthwiseConv3x3(self.hidden_dim, dtype=self.dtype, name="dwconv")(x)
-        x = nn.gelu(x, approximate=False)
+        x = nn.gelu(x, approximate=self.fast_gelu)
         return nn.Dense(self.out_dim, kernel_init=trunc_init, dtype=self.dtype,
                         name="linear2")(x)
 

@@ -224,6 +224,7 @@ class LeWinBlock(nn.Module):
     token_projection: str = "linear"
     se_layer: bool = False
     use_pallas: bool = False
+    fast_gelu: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -289,11 +290,11 @@ class LeWinBlock(nn.Module):
         z = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         hidden = int(C * self.mlp_ratio)
         if self.token_mlp == "leff":
-            z = LeFF(hidden, C, dtype=self.dtype, name="mlp")(z)
+            z = LeFF(hidden, C, fast_gelu=self.fast_gelu, dtype=self.dtype,
+                     name="mlp")(z)
         else:
-            z = Mlp(hidden, C, drop=self.drop, dtype=self.dtype, name="mlp")(
-                z, deterministic
-            )
+            z = Mlp(hidden, C, drop=self.drop, fast_gelu=self.fast_gelu,
+                    dtype=self.dtype, name="mlp")(z, deterministic)
         return x + DropPath(self.drop_path, name="drop_path2")(z, deterministic)
 
 
@@ -318,6 +319,7 @@ class UformerStage(nn.Module):
     token_projection: str = "linear"
     se_layer: bool = False
     use_pallas: bool = False
+    fast_gelu: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -342,6 +344,7 @@ class UformerStage(nn.Module):
                 token_projection=self.token_projection,
                 se_layer=self.se_layer,
                 use_pallas=self.use_pallas,
+                fast_gelu=self.fast_gelu,
                 dtype=self.dtype,
                 name=f"block_{i}",
             )(x, deterministic, pad_mask)
@@ -400,6 +403,7 @@ class Uformer(nn.Module):
                 token_projection=cfg.token_projection,
                 se_layer=cfg.se_layer,
                 use_pallas=cfg.use_pallas,
+                fast_gelu=cfg.fast_gelu,
                 dtype=cfg.dtype,
                 name=name,
             )

@@ -102,3 +102,28 @@ def test_invalid_option_combos_rejected():
     get_arch(ModelConfig(attention="full", token_projection="conv"))
     get_arch(ModelConfig(attention="full", token_projection="linear_concat",
                          se_layer=True))
+
+
+def test_fast_gelu_close_to_exact():
+    """fast_gelu=True (tanh approx) stays within 2e-3 of the exact-erf
+    forward — the documented accuracy envelope (config.py fast_gelu)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dehaze_tpu.config import ModelConfig
+    from dehaze_tpu.models.uformer import Uformer
+
+    x = jnp.asarray(np.random.default_rng(0)
+                    .uniform(size=(1, 32, 32, 3)).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+    outs = []
+    for fast in (False, True):
+        cfg = ModelConfig(img_size=32, embed_dim=8, dtype=jnp.float32,
+                          fast_gelu=fast)
+        model = Uformer(cfg)
+        variables = model.init({"params": key, "sample": key}, x)
+        outs.append(np.asarray(model.apply(variables, x, train=False,
+                                           rngs={"sample": key})))
+    np.testing.assert_allclose(outs[0], outs[1], atol=2e-3)
+    assert np.abs(outs[0] - outs[1]).max() > 0  # flag actually changes math
