@@ -54,7 +54,10 @@ BATCH = int(os.environ.get("BENCH_BATCH", "1"))
 
 def main():
     use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
-    fast_gelu = os.environ.get("BENCH_FAST_GELU", "0") == "1"
+    # Recommended inference config: tanh-approx GELU. Validated on a trained
+    # checkpoint: whole-image PSNR shifts by 1e-6 dB (13.690447 →
+    # 13.690448) while throughput gains +10.4% (4.897 → 5.404 Mpix/s).
+    fast_gelu = os.environ.get("BENCH_FAST_GELU", "1") == "1"
     cfg = ModelConfig(img_size=PS, embed_dim=32, dtype=jnp.bfloat16,
                       use_pallas=use_pallas, fast_gelu=fast_gelu)
     model = Uformer(cfg)

@@ -31,6 +31,10 @@ def add_common_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
                    help="ablation: disable relative position bias "
                         "(reference options.py:5)")
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument("--fast_gelu", action="store_true",
+                   help="tanh-approx GELU (max |d| 4.7e-4 vs exact erf — the "
+                        "reference's own fp16-autocast error magnitude); "
+                        "+10%% whole-image throughput on TPU")
     p.add_argument("--ffa_gps", type=int, default=3)
     p.add_argument("--ffa_blocks", type=int, default=19)
     # loss
@@ -70,6 +74,7 @@ def config_from_args(a: argparse.Namespace) -> Config:
             win_size=a.win_size, token_projection=a.token_projection,
             token_mlp=a.token_mlp, se_layer=a.se_layer, attention=a.attention,
             use_rel_pos_bias=not a.no_rel_pos_bias, dtype=dtype,
+            fast_gelu=a.fast_gelu,
             ffa_gps=a.ffa_gps, ffa_blocks=a.ffa_blocks,
         ),
         loss=LossConfig(
