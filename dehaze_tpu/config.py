@@ -61,6 +61,11 @@ class ModelConfig:
     dtype: jnp.dtype = jnp.bfloat16
     # Use the fused Pallas window-attention kernel where available.
     use_pallas: bool = False
+    # Multi-chip single-frame inference: name of the mesh axis that row-bands
+    # of the canvas are sharded over (None = single-device spatial layout).
+    # Set by infer.halo_sharded inside shard_map; convs/rolls then exchange
+    # halo rows over ICI (parallel/halo.py).
+    band_axis: Optional[str] = None
     # tanh-approximate GELU in LeFF/Mlp (max |Δ| 4.7e-4 vs exact erf —
     # the same error magnitude as the reference's own fp16-autocast GELU,
     # `My_train.py:224`). Default off: exact erf, bit-parity with torch.

@@ -1,0 +1,99 @@
+"""Multi-chip SINGLE-frame whole-image inference: the canvas row-bands shard
+over the ICI mesh and the model exchanges halo rows where ops cross band
+boundaries (parallel/halo.py).
+
+This is the missing half of `infer.sharded` (which shards a *batch* of
+frames): one huge frame — the case that forced the reference onto a rented
+A40 (`test_long_GPU.py:19`) — now splits across chips with only O(rows)
+ppermute traffic per conv/roll. Banded output is EXACT (not overlap-tile
+approximate): `tests/test_halo_sharding.py` asserts equality with the
+single-device forward on the full model.
+
+Alignment: every band must stay window-aligned through all 4 downsample
+levels, so the canvas height is padded up to a multiple of
+n_dev · win · 2**num_enc_layers (128·n_dev for the flagship); the pad rows
+are wrap-filled and cropped from the output. When the canvas already divides
+(e.g. 1664² over 13 chips, 1280-row rect over 2), the banded result is
+bit-identical to the single-device protocol; otherwise the taller canvas
+shifts the SW wrap seam — a VALID whole-image dehaze, but a (documented)
+protocol deviation.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from dehaze_tpu.config import ModelConfig, replace
+from dehaze_tpu.infer.tiled import canvas_size, wrap_pad_canvas
+from dehaze_tpu.models import get_arch
+
+
+def band_unit(cfg: ModelConfig) -> int:
+    """Rows each band must be a multiple of: win · 2**num_enc_layers."""
+    return cfg.win_size * (2 ** cfg.num_enc_layers)
+
+
+def make_halo_sharded_frame_fn(
+    cfg: ModelConfig,
+    variables,
+    mesh: Mesh,
+    h: int,
+    w: int,
+    ps: int = 128,
+    axis: str = "data",
+    square: bool = False,
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Jitted [B, h, w, C] → [B, h, w, C] with the canvas's ROWS sharded
+    over `mesh` axis `axis` and halo exchange inside the model.
+
+    cfg must be a Uformer ModelConfig (banding hooks live in that model);
+    variables are the bound params (replicated).
+    """
+    n_dev = int(np.prod([mesh.shape[a] for a in (axis,)]))
+    if square:
+        L = canvas_size(h, w, ps)
+        Lw = L
+    else:
+        L = (h // ps + 1) * ps
+        Lw = (w // ps + 1) * ps
+    unit = band_unit(cfg) * n_dev
+    Lp = -(-L // unit) * unit  # pad rows so bands stay window-aligned
+
+    banded_cfg = replace(cfg, band_axis=axis)
+    model = get_arch(banded_cfg)
+    key = jax.random.PRNGKey(0)
+
+    def banded_apply(v, canvas):  # runs per-band inside shard_map
+        return model.apply(v, canvas, train=False, rngs={"sample": key})
+
+    sharded = shard_map(
+        banded_apply,
+        mesh=mesh,
+        in_specs=(P(), P(None, axis, None, None)),
+        out_specs=P(None, axis, None, None),
+        check_rep=False,
+    )
+
+    @jax.jit
+    def run(img):
+        canvas = wrap_pad_canvas(img, L, Lw)
+        if Lp != L:
+            # wrap-fill the alignment pad (content is cropped anyway; wrap
+            # keeps the SW-MSA seam statistics identical to the L-row canvas)
+            canvas = jnp.concatenate(
+                [canvas, canvas[:, : Lp - L]], axis=1)
+        out = sharded(variables, canvas)
+        return jnp.clip(out[:, :h, :w, :], 0.0, 1.0)
+
+    def call(img_host):
+        img = jnp.asarray(img_host)
+        img = jax.device_put(img, NamedSharding(mesh, P()))
+        return run(img)
+
+    return call

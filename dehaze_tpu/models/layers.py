@@ -9,13 +9,24 @@ InputProj/OutputProj (`My_model_1.py:659-733`), Downsample/Upsample
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 Dtype = Any
+
+
+def _banded_conv_pad(x, band_axis: Optional[str]):
+    """Row padding for SAME 3x3/4x4p1 convs: zero rows single-device, halo
+    rows from the neighbor bands under row-band sharding (edge bands get
+    zeros from the non-cyclic ppermute — identical to SAME)."""
+    if band_axis is None:
+        return x, ((1, 1), (1, 1))
+    from dehaze_tpu.parallel.halo import halo_rows
+
+    return halo_rows(x, 1, 1, band_axis), ((0, 0), (1, 1))
 
 trunc_init = nn.initializers.truncated_normal(stddev=0.02)
 
@@ -40,11 +51,13 @@ class InputProj(nn.Module):
     """3→C conv3x3 + LeakyReLU (`My_model_1.py:659-682`)."""
 
     out_channels: int
+    band_axis: Optional[str] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = nn.Conv(self.out_channels, (3, 3), padding="SAME", dtype=self.dtype,
+        x, pad = _banded_conv_pad(x, self.band_axis)
+        x = nn.Conv(self.out_channels, (3, 3), padding=pad, dtype=self.dtype,
                     name="proj")(x)
         return nn.leaky_relu(x, negative_slope=0.01)
 
@@ -53,11 +66,13 @@ class OutputProj(nn.Module):
     """2C→3 conv3x3 (`My_model_1.py:696-723`)."""
 
     out_channels: int = 3
+    band_axis: Optional[str] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        return nn.Conv(self.out_channels, (3, 3), padding="SAME", dtype=self.dtype,
+        x, pad = _banded_conv_pad(x, self.band_axis)
+        return nn.Conv(self.out_channels, (3, 3), padding=pad, dtype=self.dtype,
                        name="proj")(x)
 
 
@@ -65,12 +80,14 @@ class Downsample(nn.Module):
     """C→2C conv4x4 stride 2 pad 1 (`My_model_1.py:606-629`)."""
 
     out_channels: int
+    band_axis: Optional[str] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x, pad = _banded_conv_pad(x, self.band_axis)
         return nn.Conv(
-            self.out_channels, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)),
+            self.out_channels, (4, 4), strides=(2, 2), padding=pad,
             dtype=self.dtype, name="conv",
         )(x)
 
@@ -120,6 +137,7 @@ class LeFF(nn.Module):
     hidden_dim: int
     out_dim: int
     fast_gelu: bool = False
+    band_axis: Optional[str] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -127,7 +145,8 @@ class LeFF(nn.Module):
         x = nn.Dense(self.hidden_dim, kernel_init=trunc_init, dtype=self.dtype,
                      name="linear1")(x)
         x = nn.gelu(x, approximate=self.fast_gelu)
-        x = DepthwiseConv3x3(self.hidden_dim, dtype=self.dtype, name="dwconv")(x)
+        x = DepthwiseConv3x3(self.hidden_dim, band_axis=self.band_axis,
+                             dtype=self.dtype, name="dwconv")(x)
         x = nn.gelu(x, approximate=self.fast_gelu)
         return nn.Dense(self.out_dim, kernel_init=trunc_init, dtype=self.dtype,
                         name="linear2")(x)
@@ -143,6 +162,7 @@ class DepthwiseConv3x3(nn.Module):
     """
 
     features: int
+    band_axis: Optional[str] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -155,7 +175,8 @@ class DepthwiseConv3x3(nn.Module):
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,),
                           jnp.float32)
-        return dwconv3x3(x.astype(self.dtype), kernel.astype(self.dtype), bias)
+        return dwconv3x3(x.astype(self.dtype), kernel.astype(self.dtype), bias,
+                         band_axis=self.band_axis)
 
 
 class SELayer(nn.Module):

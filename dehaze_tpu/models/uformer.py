@@ -127,6 +127,7 @@ class WindowAttention(nn.Module):
             # training
             if self.use_pallas and pad_flag is None and deterministic:
                 from dehaze_tpu.ops.pallas.window_attention import (
+                    probsparse_window_attention_pallas_v2 as
                     probsparse_window_attention_pallas,
                 )
 
@@ -225,6 +226,7 @@ class LeWinBlock(nn.Module):
     se_layer: bool = False
     use_pallas: bool = False
     fast_gelu: bool = False
+    band_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -250,15 +252,38 @@ class LeWinBlock(nn.Module):
         shortcut = x
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         if shift > 0:
-            y = win_ops.cyclic_shift(y, shift)
-            # compact [nW, N] region ids; the [nW, N, N] -100 mask is fused
-            # on the fly inside the attention op (see ops.window)
-            sw_region = jnp.asarray(win_ops.shift_region_ids(H, W, win, shift))
+            if self.band_axis is None:
+                y = win_ops.cyclic_shift(y, shift)
+                # compact [nW, N] region ids; the [nW, N, N] -100 mask is
+                # fused on the fly inside the attention op (see ops.window)
+                sw_region = jnp.asarray(
+                    win_ops.shift_region_ids(H, W, win, shift))
+            else:
+                # row-band sharding: the roll exchanges `shift` rows over ICI
+                # and each band takes its slice of the global window grid's
+                # region ids (H here is the LOCAL band height)
+                from dehaze_tpu.parallel import halo as halo_ops
+
+                y = halo_ops.cyclic_shift_banded(y, shift, self.band_axis)
+                n_bands = jax.lax.axis_size(self.band_axis)
+                full = jnp.asarray(win_ops.shift_region_ids(
+                    H * n_bands, W, win, shift))
+                rows_local = H // win
+                full = full.reshape(n_bands * rows_local, W // win, -1)
+                d = jax.lax.axis_index(self.band_axis)
+                sw_region = jax.lax.dynamic_slice(
+                    full, (d * rows_local, 0, 0),
+                    (rows_local, W // win, full.shape[-1]),
+                ).reshape(rows_local * (W // win), -1)
         else:
             sw_region = None
 
         pad_flag = None
         if pad_mask is not None:
+            if self.band_axis is not None:
+                raise NotImplementedError(
+                    "any-resolution pad masks are not supported under "
+                    "row-band sharding (use infer.anyres single-device)")
             # input-mask path (`My_model_1.py:791-798` / test_in_any_resolution):
             # nearest-resize the full-res padding mask to this stage and window
             # it. Quirk preserved: the mask is NOT cyclically shifted even for
@@ -283,14 +308,20 @@ class LeWinBlock(nn.Module):
         )(windows, sw_region, pad_flag, deterministic)
         y = win_ops.window_reverse(attn_windows, win, H, W)
         if shift > 0:
-            y = win_ops.cyclic_unshift(y, shift)
+            if self.band_axis is None:
+                y = win_ops.cyclic_unshift(y, shift)
+            else:
+                from dehaze_tpu.parallel import halo as halo_ops
+
+                y = halo_ops.cyclic_unshift_banded(y, shift, self.band_axis)
 
         x = shortcut + DropPath(self.drop_path, name="drop_path1")(y, deterministic)
 
         z = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         hidden = int(C * self.mlp_ratio)
         if self.token_mlp == "leff":
-            z = LeFF(hidden, C, fast_gelu=self.fast_gelu, dtype=self.dtype,
+            z = LeFF(hidden, C, fast_gelu=self.fast_gelu,
+                     band_axis=self.band_axis, dtype=self.dtype,
                      name="mlp")(z)
         else:
             z = Mlp(hidden, C, drop=self.drop, fast_gelu=self.fast_gelu,
@@ -320,6 +351,7 @@ class UformerStage(nn.Module):
     se_layer: bool = False
     use_pallas: bool = False
     fast_gelu: bool = False
+    band_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -345,6 +377,7 @@ class UformerStage(nn.Module):
                 se_layer=self.se_layer,
                 use_pallas=self.use_pallas,
                 fast_gelu=self.fast_gelu,
+                band_axis=self.band_axis,
                 dtype=self.dtype,
                 name=f"block_{i}",
             )(x, deterministic, pad_mask)
@@ -377,7 +410,8 @@ class Uformer(nn.Module):
         dec_dpr = enc_dpr[::-1]
 
         inp = x.astype(cfg.dtype)
-        y = InputProj(cfg.embed_dim, dtype=cfg.dtype, name="input_proj")(inp)
+        y = InputProj(cfg.embed_dim, band_axis=cfg.band_axis, dtype=cfg.dtype,
+                      name="input_proj")(inp)
         y = nn.Dropout(cfg.drop_rate)(y, deterministic=det)
 
         # Configured per-stage resolutions decide window collapse (parameters
@@ -404,6 +438,7 @@ class Uformer(nn.Module):
                 se_layer=cfg.se_layer,
                 use_pallas=cfg.use_pallas,
                 fast_gelu=cfg.fast_gelu,
+                band_axis=cfg.band_axis,
                 dtype=cfg.dtype,
                 name=name,
             )
@@ -418,7 +453,8 @@ class Uformer(nn.Module):
                 y, det, pad_mask
             )
             skips.append(y)
-            y = Downsample(dim * 2, dtype=cfg.dtype, name=f"downsample_{i}")(y)
+            y = Downsample(dim * 2, band_axis=cfg.band_axis, dtype=cfg.dtype,
+                           name=f"downsample_{i}")(y)
             dim *= 2
             res //= 2
             start += depths[i]
@@ -442,5 +478,6 @@ class Uformer(nn.Module):
             dim = up_dim  # next upsample halves this again (concat dim = 2*up_dim)
 
         # After the loop `y` has 2*embed_dim channels; OutputProj maps to 3.
-        out = OutputProj(cfg.in_chans, dtype=cfg.dtype, name="output_proj")(y)
+        out = OutputProj(cfg.in_chans, band_axis=cfg.band_axis,
+                         dtype=cfg.dtype, name="output_proj")(y)
         return (x + out.astype(jnp.float32)).astype(jnp.float32)

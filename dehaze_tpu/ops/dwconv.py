@@ -13,12 +13,21 @@ import jax
 import jax.numpy as jnp
 
 
-def dwconv3x3(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray | None = None
-              ) -> jnp.ndarray:
+def dwconv3x3(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray | None = None,
+              band_axis: str | None = None) -> jnp.ndarray:
     """Depthwise 3×3, SAME padding. x: [B, H, W, C]; kernel: [3, 3, 1, C]
-    (HWIO, as flax nn.Conv with feature_group_count=C stores it)."""
+    (HWIO, as flax nn.Conv with feature_group_count=C stores it).
+
+    band_axis: under row-band sharding the row padding comes from the
+    neighbor bands (parallel/halo.py) instead of zeros."""
     B, H, W, C = x.shape
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    if band_axis is None:
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    else:
+        from dehaze_tpu.parallel.halo import halo_rows
+
+        xp = jnp.pad(halo_rows(x, 1, 1, band_axis),
+                     ((0, 0), (0, 0), (1, 1), (0, 0)))
     k = kernel.reshape(3, 3, C).astype(x.dtype)
     y = None
     for i in range(3):

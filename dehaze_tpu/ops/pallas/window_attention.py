@@ -113,6 +113,187 @@ def _kernel(q_ref, k_ref, v_ref, cnt_ref, bias_ref, region_ref, out_ref, *,
     out_ref[0, :, 0] = out.astype(out_ref.dtype)
 
 
+def _kernel_v2(qt_ref, kt_ref, vt_ref, cnt_ref, bias_ref, region_ref,
+               out_ref, *, u: int, wt: int, n: int, d: int, use_bias: bool,
+               use_mask: bool):
+    """Lane-packed transposed-layout kernel.
+
+    Everything lives in a [T, N] = [WT·N keys, N queries] layout where the
+    per-window structure rides the LEADING (sublane) dim — the only reshape
+    class Mosaic supports (probed on this toolchain: lane-dim splits/merges
+    are "unsupported shape cast"; leading splits/merges, middle-dim inserts
+    and 2-D transposes are fine). The per-window dots become two large
+    block-diagonal MXU dots with contraction dim WT·D >= 128 (v1's WT tiny
+    [64,32]x[32,64] batched dots underfilled the MXU ~25x).
+
+    Blocks: qt [1, WT·D, N] (bf16, scale pre-folded; rows w·D+dd, lanes i),
+    kt/vt [1, D, WT·N] (lanes w·N+j), cnt [N, N] f32 TRANSPOSED (c, i),
+    bias [1, N, N] f32 TRANSPOSED (j, i), region [WT, N] i32, out like qt.
+    """
+    S, T = wt * d, wt * n
+    f32 = jnp.float32
+
+    qt = qt_ref[0]        # [S, N] bf16 (scale folded in)
+    kt = kt_ref[0]        # [D, T] bf16
+    vt = vt_ref[0]        # [D, T] bf16
+
+    # block-diagonal [S, T]: row w·D+dd, col w'·N+j = x[dd, w'·N+j] iff w==w'
+    row_w = jax.lax.broadcasted_iota(jnp.int32, (S, T), 0) // d
+    col_w = jax.lax.broadcasted_iota(jnp.int32, (S, T), 1) // n
+    diag = row_w == col_w
+
+    def blockdiag(x):  # [D, T] -> [S, T]
+        return jnp.where(diag, jnp.broadcast_to(x[None], (wt, d, T))
+                         .reshape(S, T), jnp.zeros((), x.dtype))
+
+    # scores for all WT windows in ONE MXU dot, transposed layout [T, N]:
+    # sT[w·N+j, i] = sum_dd k[w,j,dd]·q[w,i,dd]·scale
+    sT = jax.lax.dot_general(blockdiag(kt), qt, (((0,), (0,)), ((), ())),
+                             preferred_element_type=f32)
+
+    def seg_reduce(x, op):  # [T, N] -> [WT, N] per-window reduce over keys
+        return op(x.reshape(wt, n, n), axis=1)
+
+    def seg_expand(x):  # [WT, N] -> [T, N]
+        return jnp.broadcast_to(x[:, None, :], (wt, n, n)).reshape(T, n)
+
+    # sparsity measure M over sampled columns (gather-free, attn.py:104-117)
+    cntT = jnp.broadcast_to(cnt_ref[:][None], (wt, n, n)).reshape(T, n)
+    neg = f32(-1e30)
+    m_max = seg_reduce(jnp.where(cntT > 0, sT, neg), jnp.max)
+    m_sum = seg_reduce(sT * cntT, jnp.sum)
+    m = m_max - m_sum / n  # [WT, N(i)]
+
+    # lexicographic rank -> top-u row mask (attn.py:122); [WT, i', i] tiles
+    lhs = jnp.broadcast_to(m[:, :, None], (wt, n, n))   # m[w, i']
+    rhs = jnp.broadcast_to(m[:, None, :], (wt, n, n))   # m[w, i]
+    ip = jax.lax.broadcasted_iota(jnp.int32, (wt, n, n), 1)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (wt, n, n), 2)
+    beats = (lhs > rhs) | ((lhs == rhs) & (ip < ii))
+    rank = jnp.sum(beats.astype(f32), axis=1)           # [WT, N(i)]
+    selected = (rank < u).astype(f32)
+
+    # first softmax over scaled raw scores (attn.py:195; scale pre-folded),
+    # reducing over keys = the leading per-window segment
+    e = jnp.exp(sT - seg_expand(seg_reduce(sT, jnp.max)))
+    attn = e / seg_expand(seg_reduce(e, jnp.sum))
+
+    # + bias (+ SW region mask), second softmax (attn.py:229-264)
+    if use_bias:
+        attn = attn + jnp.broadcast_to(
+            bias_ref[0][None].astype(f32), (wt, n, n)).reshape(T, n)
+    if use_mask:
+        reg = region_ref[:]                              # [WT, N(j)]
+        reg_rows = jnp.broadcast_to(reg[:, :, None], (wt, n, n)).reshape(T, n)
+        reg_lanes = jnp.broadcast_to(reg[:, None, :], (wt, n, n)).reshape(T, n)
+        attn = attn + jnp.where(reg_rows != reg_lanes, f32(-100.0), f32(0.0))
+    e2 = jnp.exp(attn - seg_expand(seg_reduce(attn, jnp.max)))
+    attn = e2 / seg_expand(seg_reduce(e2, jnp.sum))
+
+    # PV + mean(V) fill, still transposed: ctxT[w·D+dd, i] (bf16 operands,
+    # like the reference's fp16-autocast PV matmul)
+    v_st = blockdiag(vt)                                 # [S, T]
+    ctxT = jax.lax.dot_general(v_st, attn.astype(vt.dtype),
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=f32)   # [S, N]
+    vm = jax.lax.dot_general(v_st.astype(f32),
+                             jnp.full((T, n), 1.0 / n, f32),
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=f32)     # [S, N] mean(V)
+    sel = jnp.broadcast_to(selected[:, None, :], (wt, d, n)).reshape(S, n)
+    out_ref[0] = jnp.where(sel > 0.5, ctxT, vm).astype(out_ref.dtype)
+
+
+def probsparse_window_attention_pallas_v2(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    sample_idx: jnp.ndarray,
+    rel_pos_bias: Optional[jnp.ndarray] = None,
+    sw_region: Optional[jnp.ndarray] = None,
+    num_windows: int = 1,
+    factor: int = 5,
+    scale: Optional[float] = None,
+    interpret: Optional[bool] = None,
+    wtile: int = 16,
+) -> jnp.ndarray:
+    """Drop-in fused equivalent of `probsparse_attention` (v2, lane-packed
+    transposed layout — see `_kernel_v2`). q/k/v: [B, H, N, D] with
+    B = nB·nW window-major."""
+    B, H, N, D = q.shape
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if scale is None:
+        scale = 1.0 / math.sqrt(D)
+    u = probsparse_u(N, factor)
+    use_mask = sw_region is not None
+    use_bias = rel_pos_bias is not None
+
+    wt = wtile
+    B_pad = -(-B // wt) * wt
+
+    def pad_b(t, axis=0):
+        if B_pad == B:
+            return t
+        pad = [(0, 0)] * t.ndim
+        pad[axis] = (0, B_pad - B)
+        return jnp.pad(t, pad)
+
+    # packed transposed layouts (one XLA relayout each — the einsum path
+    # pays equivalent relayouts feeding its batched dots)
+    qt = pad_b(q * jnp.asarray(scale, q.dtype))
+    qt = qt.transpose(1, 0, 3, 2).reshape(H, B_pad * D, N)
+    kt = pad_b(k).transpose(1, 3, 0, 2).reshape(H, D, B_pad * N)
+    vt = pad_b(v).transpose(1, 3, 0, 2).reshape(H, D, B_pad * N)
+
+    cnt_t = sample_count_matrix(sample_idx, N).T  # [c, i]
+    bias_t = (rel_pos_bias.transpose(0, 2, 1) if use_bias
+              else jnp.zeros((1, N, N), jnp.float32))  # [h, j, i]
+    bias_index = (lambda h, w: (h, 0, 0)) if use_bias else (
+        lambda h, w: (0, 0, 0))
+    if use_mask:
+        region = jnp.tile(sw_region.astype(jnp.int32), (B // num_windows, 1))
+    else:
+        region = jnp.zeros((B, N), jnp.int32)
+    region = pad_b(region)
+
+    grid = (H, B_pad // wt)
+    kernel = functools.partial(_kernel_v2, u=u, wt=wt, n=N, d=D,
+                               use_bias=use_bias, use_mask=use_mask)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, wt * D, N), lambda h, w: (h, w, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, wt * N), lambda h, w: (h, 0, w),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, wt * N), lambda h, w: (h, 0, w),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, N), lambda h, w: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, N), bias_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((wt, N), lambda h, w: (w, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, wt * D, N), lambda h, w: (h, w, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((H, B_pad * D, N), v.dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (B_pad // wt) * H * 2 * N * (wt * D) * (wt * N),
+            bytes_accessed=4 * B * H * N * D * q.dtype.itemsize,
+            transcendentals=2 * B * H * N * N,
+        ),
+    )(qt, kt, vt, cnt_t, bias_t, region)
+    out = out.reshape(H, B_pad, D, N).transpose(1, 0, 3, 2)
+    return out[:B]
+
+
 def probsparse_window_attention_pallas(
     q: jnp.ndarray,
     k: jnp.ndarray,

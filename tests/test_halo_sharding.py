@@ -1,0 +1,88 @@
+"""Multi-chip single-frame inference (row bands + halo exchange) must be
+EXACTLY the single-device forward — same canvas, same params, same RNG."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dehaze_tpu.config import ModelConfig
+from dehaze_tpu.models.uformer import Uformer
+from dehaze_tpu.parallel.mesh import make_mesh
+
+
+def _model_and_vars(dtype=jnp.float32):
+    cfg = ModelConfig(img_size=32, embed_dim=8, dtype=dtype,
+                      drop_path_rate=0.0)
+    model = Uformer(cfg)
+    k = jax.random.PRNGKey(0)
+    variables = jax.jit(
+        lambda: model.init({"params": k, "sample": k},
+                           jnp.zeros((1, 32, 32, 3)))
+    )()
+    return cfg, model, variables
+
+
+@pytest.mark.parametrize("n_dev", [2, 4])
+def test_halo_banded_equals_single_device(n_dev):
+    from dehaze_tpu.infer.halo_sharded import make_halo_sharded_frame_fn
+    from dehaze_tpu.infer.tiled import make_whole_image_fn
+
+    cfg, model, variables = _model_and_vars()
+    key = jax.random.PRNGKey(0)
+
+    # canvas height must be a multiple of n_dev·win·2^4 = n_dev·128 for the
+    # bands to stay window-aligned WITHOUT extra canvas padding (padding
+    # would change the wrap/SW-seam protocol vs the single-device reference)
+    h = w = {2: 250, 4: 500}[n_dev]  # -> 256 / 512 canvas
+    img = np.random.default_rng(0).uniform(size=(1, h, w, 3)).astype(np.float32)
+
+    def apply_fn(x):
+        return model.apply(variables, x, train=False, rngs={"sample": key})
+
+    ref = np.asarray(make_whole_image_fn(apply_fn, h, w, ps=32,
+                                         square=True)(jnp.asarray(img)))
+
+    mesh = make_mesh(n_dev)
+    run = make_halo_sharded_frame_fn(cfg, variables, mesh, h, w, ps=32,
+                                     square=True)
+    got = np.asarray(run(img))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_halo_rows_and_roll_primitives():
+    """halo_rows edge zeros == SAME padding; roll_rows == global jnp.roll."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from dehaze_tpu.parallel.halo import halo_rows, roll_rows
+
+    mesh = make_mesh(4)
+    x = np.arange(16 * 4 * 2, dtype=np.float32).reshape(1, 16, 4, 2)
+
+    def f_halo(xl):
+        return halo_rows(xl, 1, 1, "data")
+
+    got = shard_map(f_halo, mesh=mesh, in_specs=P(None, "data", None, None),
+                    out_specs=P(None, "data", None, None),
+                    check_rep=False)(jnp.asarray(x))
+    got = np.asarray(got).reshape(1, 4, 6, 4, 2)  # per-band [1+4+1] rows
+    xb = x.reshape(1, 4, 4, 4, 2)
+    for d in range(4):
+        np.testing.assert_array_equal(got[:, d, 1:5], xb[:, d])
+        top = xb[:, d - 1, -1:] if d > 0 else np.zeros_like(xb[:, 0, :1])
+        bot = xb[:, d + 1, :1] if d < 3 else np.zeros_like(xb[:, 0, :1])
+        np.testing.assert_array_equal(got[:, d, :1], top)
+        np.testing.assert_array_equal(got[:, d, 5:], bot)
+
+    for s in (3, -2):
+        def f_roll(xl):
+            return roll_rows(xl, s, "data")
+
+        rolled = shard_map(f_roll, mesh=mesh,
+                           in_specs=P(None, "data", None, None),
+                           out_specs=P(None, "data", None, None),
+                           check_rep=False)(jnp.asarray(x))
+        np.testing.assert_array_equal(np.asarray(rolled),
+                                      np.roll(x, -s, axis=1))

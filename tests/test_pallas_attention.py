@@ -8,8 +8,12 @@ import pytest
 from dehaze_tpu.ops import probsparse as PS
 from dehaze_tpu.ops.pallas.window_attention import (
     probsparse_window_attention_pallas,
+    probsparse_window_attention_pallas_v2,
     sample_count_matrix,
 )
+
+KERNELS = [probsparse_window_attention_pallas,
+           probsparse_window_attention_pallas_v2]
 
 
 def _data(B, H, N, D, seed=0):
@@ -27,22 +31,24 @@ def test_sample_count_matrix():
     np.testing.assert_array_equal(cnt, [[2, 0, 1, 0], [0, 3, 0, 0]])
 
 
+@pytest.mark.parametrize("kernel", KERNELS)
 @pytest.mark.parametrize("with_bias", [False, True])
-def test_pallas_matches_jnp(with_bias):
+def test_pallas_matches_jnp(with_bias, kernel):
     B, H, N, D = 4, 2, 64, 32
     q, k, v, si = _data(B, H, N, D)
     rng = np.random.default_rng(1)
     bias = (jnp.asarray(rng.normal(size=(H, N, N)).astype(np.float32))
             if with_bias else None)
     expect = PS.probsparse_attention(q, k, v, sample_idx=si, rel_pos_bias=bias)
-    got = probsparse_window_attention_pallas(
+    got = kernel(
         q, k, v, sample_idx=si, rel_pos_bias=bias, interpret=True
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
                                rtol=1e-5, atol=1e-5)
 
 
-def test_pallas_matches_jnp_with_sw_mask():
+@pytest.mark.parametrize("kernel", KERNELS)
+def test_pallas_matches_jnp_with_sw_mask(kernel):
     B, H, N, D = 6, 2, 64, 32  # 3 images x 2 windows
     nW = 2
     q, k, v, si = _data(B, H, N, D, seed=2)
@@ -51,7 +57,7 @@ def test_pallas_matches_jnp_with_sw_mask():
     region = jnp.asarray(rng.integers(0, 9, size=(nW, N)).astype(np.int32))
     expect = PS.probsparse_attention(q, k, v, sample_idx=si,
                                      rel_pos_bias=bias, sw_region=region)
-    got = probsparse_window_attention_pallas(
+    got = kernel(
         q, k, v, sample_idx=si, rel_pos_bias=bias, sw_region=region,
         num_windows=nW, interpret=True
     )
@@ -59,13 +65,13 @@ def test_pallas_matches_jnp_with_sw_mask():
                                rtol=1e-5, atol=1e-5)
 
 
-def test_pallas_bf16_inputs():
+@pytest.mark.parametrize("kernel", KERNELS)
+def test_pallas_bf16_inputs(kernel):
     B, H, N, D = 2, 1, 64, 32
     q, k, v, si = _data(B, H, N, D, seed=4)
     q, k, v = q.astype(jnp.bfloat16), k.astype(jnp.bfloat16), v.astype(jnp.bfloat16)
     expect = PS.probsparse_attention(q, k, v, sample_idx=si)
-    got = probsparse_window_attention_pallas(q, k, v, sample_idx=si,
-                                             interpret=True)
+    got = kernel(q, k, v, sample_idx=si, interpret=True)
     assert got.dtype == jnp.bfloat16
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(expect, np.float32),
