@@ -116,32 +116,30 @@ class WindowAttention(nn.Module):
                          name="key")(x)
             v = nn.Dense(c, use_bias=True, kernel_init=trunc_init, dtype=self.dtype,
                          name="value")(x)
-            # token-major [B_, N, H, D] views (free reshapes); the attention
-            # op folds head transposes into its matmuls instead of
-            # materializing layout copies
-            q, k, v = (t.reshape(b, n, h, d) for t in (q, k, v))
             u_part = ps_ops.probsparse_u(n, self.factor)
             sample_idx = ps_ops.sample_indices(self.make_rng("sample"), n, n, u_part)
-            # the fused kernel is forward-only (no custom VJP yet): use it
-            # for inference, fall back to the differentiable jnp path in
-            # training
-            if self.use_pallas and pad_flag is None and deterministic:
+            if self.use_pallas and pad_flag is None:
+                # fused Pallas kernels, Dense-native layout, custom VJP —
+                # runs in training too (grad parity tested vs the jnp path)
                 from dehaze_tpu.ops.pallas.window_attention import (
-                    probsparse_window_attention_pallas_v2 as
-                    probsparse_window_attention_pallas,
+                    fused_window_attention,
                 )
 
-                out = probsparse_window_attention_pallas(
-                    q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-                    v.transpose(0, 2, 1, 3),
+                out = fused_window_attention(
+                    q, k, v,
+                    num_heads=h,
                     sample_idx=sample_idx,
                     rel_pos_bias=bias,
                     sw_region=sw_region,
                     num_windows=sw_region.shape[0] if sw_region is not None
                     else 1,
                     factor=self.factor,
-                ).transpose(0, 2, 1, 3)
+                )
             else:
+                # token-major [B_, N, H, D] views (free reshapes); the
+                # attention op folds head transposes into its matmuls
+                # instead of materializing layout copies
+                q, k, v = (t.reshape(b, n, h, d) for t in (q, k, v))
                 out = ps_ops.probsparse_attention(
                     q, k, v,
                     sample_idx=sample_idx,
@@ -150,8 +148,7 @@ class WindowAttention(nn.Module):
                     pad_flag=pad_flag,
                     factor=self.factor,
                     layout="bnhd",
-                )
-            out = out.reshape(b, n, c)
+                ).reshape(b, n, c)
             return nn.Dense(c, kernel_init=trunc_init, dtype=self.dtype,
                             name="out")(out)
 

@@ -126,16 +126,19 @@ def _kernel_v2(qt_ref, kt_ref, vt_ref, cnt_ref, bias_ref, region_ref,
     block-diagonal MXU dots with contraction dim WT·D >= 128 (v1's WT tiny
     [64,32]x[32,64] batched dots underfilled the MXU ~25x).
 
-    Blocks: qt [1, WT·D, N] (bf16, scale pre-folded; rows w·D+dd, lanes i),
-    kt/vt [1, D, WT·N] (lanes w·N+j), cnt [N, N] f32 TRANSPOSED (c, i),
-    bias [1, N, N] f32 TRANSPOSED (j, i), region [WT, N] i32, out like qt.
+    Blocks (window-tile w rides a LEADING array dim so every DMA is a
+    contiguous chunk — lane-dim block slicing of the huge packed arrays
+    doubled the per-window cost at 33k-window geometries):
+    qt [1, 1, WT·D, N] (bf16, scale pre-folded; rows w·D+dd, lanes i),
+    kt/vt [1, 1, D, WT·N] (lanes w·N+j), cnt [N, N] f32 TRANSPOSED (c, i),
+    bias [1, N, N] f32 TRANSPOSED (j, i), region [1, WT, N] i32, out like qt.
     """
     S, T = wt * d, wt * n
     f32 = jnp.float32
 
-    qt = qt_ref[0]        # [S, N] bf16 (scale folded in)
-    kt = kt_ref[0]        # [D, T] bf16
-    vt = vt_ref[0]        # [D, T] bf16
+    qt = qt_ref[0, 0]     # [S, N] bf16 (scale folded in)
+    kt = kt_ref[0, 0]     # [D, T] bf16
+    vt = vt_ref[0, 0]     # [D, T] bf16
 
     # block-diagonal [S, T]: row w·D+dd, col w'·N+j = x[dd, w'·N+j] iff w==w'
     row_w = jax.lax.broadcasted_iota(jnp.int32, (S, T), 0) // d
@@ -183,7 +186,7 @@ def _kernel_v2(qt_ref, kt_ref, vt_ref, cnt_ref, bias_ref, region_ref,
         attn = attn + jnp.broadcast_to(
             bias_ref[0][None].astype(f32), (wt, n, n)).reshape(T, n)
     if use_mask:
-        reg = region_ref[:]                              # [WT, N(j)]
+        reg = region_ref[0]                              # [WT, N(j)]
         reg_rows = jnp.broadcast_to(reg[:, :, None], (wt, n, n)).reshape(T, n)
         reg_lanes = jnp.broadcast_to(reg[:, None, :], (wt, n, n)).reshape(T, n)
         attn = attn + jnp.where(reg_rows != reg_lanes, f32(-100.0), f32(0.0))
@@ -201,7 +204,7 @@ def _kernel_v2(qt_ref, kt_ref, vt_ref, cnt_ref, bias_ref, region_ref,
                              (((1,), (0,)), ((), ())),
                              preferred_element_type=f32)     # [S, N] mean(V)
     sel = jnp.broadcast_to(selected[:, None, :], (wt, d, n)).reshape(S, n)
-    out_ref[0] = jnp.where(sel > 0.5, ctxT, vm).astype(out_ref.dtype)
+    out_ref[0, 0] = jnp.where(sel > 0.5, ctxT, vm).astype(out_ref.dtype)
 
 
 def probsparse_window_attention_pallas_v2(
@@ -241,11 +244,18 @@ def probsparse_window_attention_pallas_v2(
         return jnp.pad(t, pad)
 
     # packed transposed layouts (one XLA relayout each — the einsum path
-    # pays equivalent relayouts feeding its batched dots)
+    # pays equivalent relayouts feeding its batched dots); window-tiles ride
+    # a leading dim so every kernel DMA is one contiguous chunk
+    nwt = B_pad // wt
     qt = pad_b(q * jnp.asarray(scale, q.dtype))
-    qt = qt.transpose(1, 0, 3, 2).reshape(H, B_pad * D, N)
-    kt = pad_b(k).transpose(1, 3, 0, 2).reshape(H, D, B_pad * N)
-    vt = pad_b(v).transpose(1, 3, 0, 2).reshape(H, D, B_pad * N)
+    qt = qt.transpose(1, 0, 3, 2).reshape(H, nwt, wt * D, N)
+
+    def kv_pack(t):  # [B, H, N, D] -> [H, nwt, D, wt*N]
+        t = pad_b(t).transpose(1, 0, 2, 3).reshape(H, nwt, wt, N, D)
+        return t.transpose(0, 1, 4, 2, 3).reshape(H, nwt, D, wt * N)
+
+    kt = kv_pack(k)
+    vt = kv_pack(v)
 
     cnt_t = sample_count_matrix(sample_idx, N).T  # [c, i]
     bias_t = (rel_pos_bias.transpose(0, 2, 1) if use_bias
@@ -256,30 +266,30 @@ def probsparse_window_attention_pallas_v2(
         region = jnp.tile(sw_region.astype(jnp.int32), (B // num_windows, 1))
     else:
         region = jnp.zeros((B, N), jnp.int32)
-    region = pad_b(region)
+    region = pad_b(region).reshape(nwt, wt, N)
 
-    grid = (H, B_pad // wt)
+    grid = (H, nwt)
     kernel = functools.partial(_kernel_v2, u=u, wt=wt, n=N, d=D,
                                use_bias=use_bias, use_mask=use_mask)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, wt * D, N), lambda h, w: (h, w, 0),
+            pl.BlockSpec((1, 1, wt * D, N), lambda h, w: (h, w, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, wt * N), lambda h, w: (h, 0, w),
+            pl.BlockSpec((1, 1, D, wt * N), lambda h, w: (h, w, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, wt * N), lambda h, w: (h, 0, w),
+            pl.BlockSpec((1, 1, D, wt * N), lambda h, w: (h, w, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((N, N), lambda h, w: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N, N), bias_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((wt, N), lambda h, w: (w, 0),
+            pl.BlockSpec((1, wt, N), lambda h, w: (w, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, wt * D, N), lambda h, w: (h, w, 0),
+        out_specs=pl.BlockSpec((1, 1, wt * D, N), lambda h, w: (h, w, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((H, B_pad * D, N), v.dtype),
+        out_shape=jax.ShapeDtypeStruct((H, nwt, wt * D, N), v.dtype),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -382,3 +392,315 @@ def probsparse_window_attention_pallas(
     if nW_pad != nW:
         out = out[:, :nW]
     return out.reshape(B, H, N, D)
+
+
+# ---------------------------------------------------------------------------
+# v3: Dense-native layout. The kernel consumes q/k/v exactly as the model's
+# projection Denses produce them — [B_·N, C] token-major, heads packed in
+# lanes — and returns the context in the same layout. ZERO relayouts outside
+# the kernel (v2's packed layouts cost 4 real transposes per block, which ate
+# the in-model win even though v2 beat XLA standalone at every stage). The
+# tiny per-head packing transposes happen on [WT·N, D] VMEM tiles instead
+# (probed supported: 2-D transpose, 3-D minor transpose, static lane slices).
+# ---------------------------------------------------------------------------
+
+
+def _head_chain(qh, kh, vh, biasT_h, reg, cnt, *, u, wt, n, d, scale,
+                use_bias, use_mask):
+    """One head of the fused chain. qh/kh/vh: [T, D] token-major VMEM tiles;
+    returns context [T, D] plus the residuals needed by the bwd chain."""
+    S, T = wt * d, wt * n
+    f32 = jnp.float32
+
+    qt = (qh * jnp.asarray(scale, qh.dtype)).reshape(wt, n, d) \
+        .transpose(0, 2, 1).reshape(S, n)                  # [S, N(i)]
+    kt = kh.T                                              # [D, T(w,j)]
+    vt = vh.T
+
+    row_w = jax.lax.broadcasted_iota(jnp.int32, (S, T), 0) // d
+    col_w = jax.lax.broadcasted_iota(jnp.int32, (S, T), 1) // n
+    diag = row_w == col_w
+
+    def blockdiag(x):
+        return jnp.where(diag, jnp.broadcast_to(x[None], (wt, d, T))
+                         .reshape(S, T), jnp.zeros((), x.dtype))
+
+    def seg_reduce(x, op):
+        return op(x.reshape(wt, n, n), axis=1)
+
+    def seg_expand(x):
+        return jnp.broadcast_to(x[:, None, :], (wt, n, n)).reshape(T, n)
+
+    k_st = blockdiag(kt)
+    sT = jax.lax.dot_general(k_st, qt, (((0,), (0,)), ((), ())),
+                             preferred_element_type=f32)   # [T, N]
+
+    cntT = jnp.broadcast_to(cnt[None], (wt, n, n)).reshape(T, n)
+    m_max = seg_reduce(jnp.where(cntT > 0, sT, f32(-1e30)), jnp.max)
+    m_sum = seg_reduce(sT * cntT, jnp.sum)
+    m = m_max - m_sum / n
+    lhs = jnp.broadcast_to(m[:, :, None], (wt, n, n))
+    rhs = jnp.broadcast_to(m[:, None, :], (wt, n, n))
+    ip = jax.lax.broadcasted_iota(jnp.int32, (wt, n, n), 1)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (wt, n, n), 2)
+    beats = (lhs > rhs) | ((lhs == rhs) & (ip < ii))
+    rank = jnp.sum(beats.astype(f32), axis=1)
+    selected = (rank < u).astype(f32)                      # [WT, N(i)]
+
+    e = jnp.exp(sT - seg_expand(seg_reduce(sT, jnp.max)))
+    a1 = e / seg_expand(seg_reduce(e, jnp.sum))
+    z = a1
+    if use_bias:
+        z = z + jnp.broadcast_to(biasT_h[None].astype(f32),
+                                 (wt, n, n)).reshape(T, n)
+    if use_mask:
+        reg_rows = jnp.broadcast_to(reg[:, :, None], (wt, n, n)).reshape(T, n)
+        reg_lanes = jnp.broadcast_to(reg[:, None, :], (wt, n, n)).reshape(T, n)
+        z = z + jnp.where(reg_rows != reg_lanes, f32(-100.0), f32(0.0))
+    e2 = jnp.exp(z - seg_expand(seg_reduce(z, jnp.max)))
+    a2 = e2 / seg_expand(seg_reduce(e2, jnp.sum))          # [T, N]
+
+    v_st = blockdiag(vt)
+    ctxT = jax.lax.dot_general(v_st, a2.astype(vt.dtype),
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=f32)  # [S, N]
+    vm = jax.lax.dot_general(v_st.astype(f32),
+                             jnp.full((T, n), 1.0 / n, f32),
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=f32)
+    sel = jnp.broadcast_to(selected[:, None, :], (wt, d, n)).reshape(S, n)
+    outT = jnp.where(sel > 0.5, ctxT, vm)                  # [S, N]
+    ctx = outT.reshape(wt, d, n).transpose(0, 2, 1).reshape(T, d)
+    return ctx, (qt, kt, vt, k_st, v_st, sT, a1, a2, sel, diag)
+
+
+def _kernel_v3(q_ref, k_ref, v_ref, cnt_ref, bias_ref, region_ref, out_ref,
+               *, u: int, wt: int, n: int, d: int, nh: int, scale: float,
+               use_bias: bool, use_mask: bool):
+    """Blocks: q/k/v/out [WT·N, C] (token-major, C = nh·d), cnt [N, N]
+    TRANSPOSED (c, i), bias [NH, N, N] TRANSPOSED (j, i), region [1, WT, N]."""
+    reg = region_ref[0] if use_mask else None
+    cnt = cnt_ref[:]
+    for hh in range(nh):
+        sl = slice(hh * d, (hh + 1) * d)
+        ctx, _ = _head_chain(
+            q_ref[:, sl], k_ref[:, sl], v_ref[:, sl],
+            bias_ref[hh] if use_bias else None, reg, cnt,
+            u=u, wt=wt, n=n, d=d, scale=scale,
+            use_bias=use_bias, use_mask=use_mask)
+        out_ref[:, sl] = ctx.astype(out_ref.dtype)
+
+
+def _kernel_v3_bwd(q_ref, k_ref, v_ref, cnt_ref, bias_ref, region_ref, g_ref,
+                   dq_ref, dk_ref, dv_ref, db_ref, *, u: int, wt: int, n: int,
+                   d: int, nh: int, scale: float, use_bias: bool,
+                   use_mask: bool):
+    """Backward: recomputes the chain per head, then the grad dots. Grad
+    semantics match the jnp path (top-u mask and M are piecewise-constant;
+    non-selected rows backprop through mean(V); rel-pos bias gets grads,
+    accumulated across the window-tile grid)."""
+    S, T = wt * d, wt * n
+    f32 = jnp.float32
+    reg = region_ref[0] if use_mask else None
+    cnt = cnt_ref[:]
+
+    def seg_reduce(x, op):
+        return op(x.reshape(wt, n, n), axis=1)
+
+    def seg_expand(x):
+        return jnp.broadcast_to(x[:, None, :], (wt, n, n)).reshape(T, n)
+
+    for hh in range(nh):
+        sl = slice(hh * d, (hh + 1) * d)
+        _, res = _head_chain(
+            q_ref[:, sl], k_ref[:, sl], v_ref[:, sl],
+            bias_ref[hh] if use_bias else None, reg, cnt,
+            u=u, wt=wt, n=n, d=d, scale=scale,
+            use_bias=use_bias, use_mask=use_mask)
+        qt, kt, vt, k_st, v_st, sT, a1, a2, sel, diag = res
+
+        g = g_ref[:, sl].astype(f32)                       # [T, D] token-major
+        gT = g.reshape(wt, n, d).transpose(0, 2, 1).reshape(S, n)
+        g_sel = gT * sel
+        g_unsel = gT - g_sel
+
+        def diag_collapse(x_st):  # [S, T] -> [D, T]
+            return jnp.sum((x_st * diag.astype(x_st.dtype))
+                           .reshape(wt, d, T), axis=0)
+
+        v_f = v_st.astype(f32)
+        dv_attn = jax.lax.dot_general(g_sel, a2, (((1,), (1,)), ((), ())),
+                                      preferred_element_type=f32)  # [S, T]
+        gu_sum = jax.lax.dot_general(g_unsel, jnp.full((n, n), 1.0 / n, f32),
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=f32)
+        dv_mean = jnp.broadcast_to(gu_sum[:, :1], (S, T))
+        dvT = diag_collapse(dv_attn + dv_mean)             # [D, T]
+        dv_ref[:, sl] = dvT.T.astype(dv_ref.dtype)
+
+        da2 = jax.lax.dot_general(v_f, g_sel, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=f32)      # [T, N]
+        dz = a2 * (da2 - seg_expand(seg_reduce(da2 * a2, jnp.sum)))
+        if use_bias:
+            db = jnp.sum(dz.reshape(wt, n, n), axis=0)
+
+            @pl.when(pl.program_id(0) == 0)
+            def _():
+                db_ref[hh] = jnp.zeros_like(db_ref[hh])
+
+            db_ref[hh] = db_ref[hh] + db
+        ds = a1 * (dz - seg_expand(seg_reduce(dz * a1, jnp.sum)))  # [T, N]
+
+        dqt = jax.lax.dot_general(k_st.astype(f32), ds,
+                                  (((1,), (0,)), ((), ())),
+                                  preferred_element_type=f32)      # [S, N]
+        dqt = dqt * jnp.asarray(scale, f32)
+        dq_ref[:, sl] = dqt.reshape(wt, d, n).transpose(0, 2, 1) \
+            .reshape(T, d).astype(dq_ref.dtype)
+        # qt already carries the scale fold, so dk = dS^T @ qt directly
+        dk_st = jax.lax.dot_general(qt.astype(f32), ds,
+                                    (((1,), (1,)), ((), ())),
+                                    preferred_element_type=f32)    # [S, T]
+        dk_ref[:, sl] = diag_collapse(dk_st).T.astype(dk_ref.dtype)
+
+
+def _v3_specs(wt, n, c, nh):
+    return [
+        pl.BlockSpec((wt * n, c), lambda w: (w, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((wt * n, c), lambda w: (w, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((wt * n, c), lambda w: (w, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((n, n), lambda w: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((nh, n, n), lambda w: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, wt, n), lambda w: (w, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+
+
+def _prep_v3(q, k, v, sample_idx, rel_pos_bias, sw_region, num_windows, wt):
+    """Pad B_ to a wt multiple and flatten to the kernel's [B_·N, C] layout."""
+    B, N, C = q.shape
+    B_pad = -(-B // wt) * wt
+    if B_pad != B:
+        pad = ((0, B_pad - B), (0, 0), (0, 0))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    q2, k2, v2 = (t.reshape(B_pad * N, C) for t in (q, k, v))
+    cnt_t = sample_count_matrix(sample_idx, N).T
+    if rel_pos_bias is not None:
+        bias_t = rel_pos_bias.transpose(0, 2, 1).astype(jnp.float32)
+    else:
+        bias_t = jnp.zeros((1, N, N), jnp.float32)
+    if sw_region is not None:
+        reps = -(-B_pad // num_windows)
+        region = jnp.tile(sw_region.astype(jnp.int32), (reps, 1))[:B_pad]
+    else:
+        region = jnp.zeros((B_pad, N), jnp.int32)
+    region = region.reshape(B_pad // wt, wt, N).astype(jnp.float32)
+    return q2, k2, v2, cnt_t, bias_t, region, B_pad
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_attn_v3(statics, q2, k2, v2, cnt_t, bias_t, region_f):
+    out, _ = _fused_attn_v3_fwd(statics, q2, k2, v2, cnt_t, bias_t, region_f)
+    return out
+
+
+def _fused_attn_v3_fwd(statics, q2, k2, v2, cnt_t, bias_t, region_f):
+    u, wt, n, d, nh, scale, use_bias, use_mask, interpret = statics
+    BN, C = q2.shape
+    nwt = BN // (wt * n)
+    kernel = functools.partial(_kernel_v3, u=u, wt=wt, n=n, d=d, nh=nh,
+                               scale=scale, use_bias=use_bias,
+                               use_mask=use_mask)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nwt,),
+        in_specs=_v3_specs(wt, n, C, bias_t.shape[0]),
+        out_specs=pl.BlockSpec((wt * n, C), lambda w: (w, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((BN, C), v2.dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(q2, k2, v2, cnt_t, bias_t, region_f.astype(jnp.int32))
+    return out, (q2, k2, v2, cnt_t, bias_t, region_f)
+
+
+def _fused_attn_v3_bwd(statics, res, g):
+    u, wt, n, d, nh, scale, use_bias, use_mask, interpret = statics
+    q2, k2, v2, cnt_t, bias_t, region_f = res
+    BN, C = q2.shape
+    nwt = BN // (wt * n)
+    kernel = functools.partial(_kernel_v3_bwd, u=u, wt=wt, n=n, d=d, nh=nh,
+                               scale=scale, use_bias=use_bias,
+                               use_mask=use_mask)
+    specs = _v3_specs(wt, n, C, bias_t.shape[0])
+    g_spec = pl.BlockSpec((wt * n, C), lambda w: (w, 0),
+                          memory_space=pltpu.VMEM)
+    db_spec = pl.BlockSpec((bias_t.shape[0], n, n), lambda w: (0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    dq, dk, dv, db_t = pl.pallas_call(
+        kernel,
+        grid=(nwt,),
+        in_specs=specs + [g_spec],
+        out_specs=[g_spec, g_spec, g_spec, db_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((BN, C), jnp.float32),
+            jax.ShapeDtypeStruct((BN, C), jnp.float32),
+            jax.ShapeDtypeStruct((BN, C), jnp.float32),
+            jax.ShapeDtypeStruct(bias_t.shape, jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(q2, k2, v2, cnt_t, bias_t, region_f.astype(jnp.int32),
+      g.astype(v2.dtype))
+    # db_t is already the cotangent of bias_t IN ITS (j, i) layout — the
+    # outer rel_pos_bias.transpose is differentiated by autodiff and
+    # transposes it back.
+    return (dq.astype(q2.dtype), dk.astype(k2.dtype), dv.astype(v2.dtype),
+            jnp.zeros_like(cnt_t), db_t.astype(bias_t.dtype),
+            jnp.zeros_like(region_f))
+
+
+_fused_attn_v3.defvjp(_fused_attn_v3_fwd, _fused_attn_v3_bwd)
+
+
+def fused_window_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    num_heads: int,
+    sample_idx: jnp.ndarray,
+    rel_pos_bias: Optional[jnp.ndarray] = None,
+    sw_region: Optional[jnp.ndarray] = None,
+    num_windows: int = 1,
+    factor: int = 5,
+    scale: Optional[float] = None,
+    interpret: Optional[bool] = None,
+    wtile: int = 16,
+) -> jnp.ndarray:
+    """Differentiable fused ProbSparse window attention, Dense-native layout.
+
+    q/k/v: [B_, N, C] — exactly the model's projection outputs (B_ =
+    batch·num_windows, C = num_heads·head_dim). Returns the context in the
+    same layout (feed it straight to the output Dense). Both forward and
+    backward run fused Pallas kernels (custom VJP; the backward recomputes
+    the chain in VMEM flash-style and also emits the rel-pos-bias grad).
+    """
+    B, N, C = q.shape
+    d = C // num_heads
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    u = probsparse_u(N, factor)
+    use_mask = sw_region is not None
+    use_bias = rel_pos_bias is not None
+    q2, k2, v2, cnt_t, bias_t, region, B_pad = _prep_v3(
+        q, k, v, sample_idx, rel_pos_bias, sw_region, num_windows, wtile)
+    statics = (u, wtile, N, d, num_heads, float(scale), use_bias, use_mask,
+               bool(interpret))
+    out = _fused_attn_v3(statics, q2, k2, v2, cnt_t, bias_t, region)
+    return out.reshape(B_pad, N, C)[:B]

@@ -122,3 +122,53 @@ def test_pallas_model_trains_via_jnp_fallback():
     flat = jax.tree.leaves(g)
     assert all(np.isfinite(np.asarray(t)).all() for t in flat)
     assert any(float(jnp.abs(t).max()) > 0 for t in flat)
+
+
+def _data_tokens(B, N, C, seed=0):
+    rng = np.random.default_rng(seed)
+    mk = lambda: jnp.asarray(rng.normal(size=(B, N, C)).astype(np.float32) * .3)
+    si = rng.integers(0, N, size=(N, PS.probsparse_u(N))).astype(np.int32)
+    return mk(), mk(), mk(), jnp.asarray(si)
+
+
+@pytest.mark.parametrize("use_mask", [False, True])
+def test_fused_v3_value_and_grads_match_jnp(use_mask):
+    """fused_window_attention (custom VJP, Dense-native layout): value AND
+    gradients (q, k, v, rel-pos bias) equal the jnp path."""
+    from dehaze_tpu.ops.pallas.window_attention import fused_window_attention
+
+    B, N, H, D = 6, 64, 2, 32
+    nW = 2 if use_mask else 1
+    q, k, v, si = _data_tokens(B, N, H * D, seed=7)
+    rng = np.random.default_rng(8)
+    bias = jnp.asarray(rng.normal(size=(H, N, N)).astype(np.float32) * 0.1)
+    region = (jnp.asarray(rng.integers(0, 9, size=(nW, N)).astype(np.int32))
+              if use_mask else None)
+
+    def jnp_path(q, k, v, bias):
+        qh, kh, vh = (t.reshape(B, N, H, D) for t in (q, k, v))
+        out = PS.probsparse_attention(
+            qh, kh, vh, sample_idx=si, rel_pos_bias=bias, sw_region=region,
+            layout="bnhd")
+        return out.reshape(B, N, H * D)
+
+    def pal_path(q, k, v, bias):
+        return fused_window_attention(
+            q, k, v, num_heads=H, sample_idx=si, rel_pos_bias=bias,
+            sw_region=region, num_windows=nW, interpret=True, wtile=8)
+
+    out_ref = jnp_path(q, k, v, bias)
+    out_pal = pal_path(q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(out_pal), np.asarray(out_ref),
+                               rtol=2e-5, atol=2e-5)
+
+    cot = jnp.asarray(rng.normal(size=out_ref.shape).astype(np.float32))
+
+    def loss(fn):
+        return lambda *a: jnp.sum(fn(*a) * cot)
+
+    g_ref = jax.grad(loss(jnp_path), argnums=(0, 1, 2, 3))(q, k, v, bias)
+    g_pal = jax.grad(loss(pal_path), argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for name, a, b in zip(("dq", "dk", "dv", "dbias"), g_ref, g_pal):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
