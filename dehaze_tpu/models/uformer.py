@@ -136,10 +136,11 @@ class WindowAttention(nn.Module):
                     factor=self.factor,
                 )
             else:
-                # token-major [B_, N, H, D] views (free reshapes); the
-                # attention op folds head transposes into its matmuls
-                # instead of materializing layout copies
-                q, k, v = (t.reshape(b, n, h, d) for t in (q, k, v))
+                # heads stay folded in the channel axis ([B_, N, C] exactly
+                # as the Denses emit) and are processed as static lane
+                # slices — no [B,N,H,D] reshape exists, so XLA keeps every
+                # operand C-minor and emits plain matmuls (see
+                # probsparse._probsparse_bnc)
                 out = ps_ops.probsparse_attention(
                     q, k, v,
                     sample_idx=sample_idx,
@@ -147,8 +148,9 @@ class WindowAttention(nn.Module):
                     sw_region=sw_region,
                     pad_flag=pad_flag,
                     factor=self.factor,
-                    layout="bnhd",
-                ).reshape(b, n, c)
+                    layout="bnc",
+                    num_heads=h,
+                )
             return nn.Dense(c, kernel_init=trunc_init, dtype=self.dtype,
                             name="out")(out)
 
