@@ -61,6 +61,10 @@ class ModelConfig:
     dtype: jnp.dtype = jnp.bfloat16
     # Use the fused Pallas window-attention kernel where available.
     use_pallas: bool = False
+    # Use the fused Pallas LeFF kernel (LN+dense+gelu+dwconv+gelu+dense in
+    # one VMEM pass) on the inference path when the geometry allows it
+    # (H, W multiples of 64). Training always uses the jnp LeFF.
+    use_pallas_leff: bool = False
     # Multi-chip single-frame inference: name of the mesh axis that row-bands
     # of the canvas are sharded over (None = single-device spatial layout).
     # Set by infer.halo_sharded inside shard_map; convs/rolls then exchange

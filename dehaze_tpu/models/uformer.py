@@ -224,6 +224,7 @@ class LeWinBlock(nn.Module):
     token_projection: str = "linear"
     se_layer: bool = False
     use_pallas: bool = False
+    use_pallas_leff: bool = False
     fast_gelu: bool = False
     band_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
@@ -249,6 +250,13 @@ class LeWinBlock(nn.Module):
             )
 
         shortcut = x
+        # Fusion fence: without it XLA fuses this LN's channel-reduce into
+        # the producing Dense and lays the feature map out W-minor, which
+        # forces batch-in-lanes convolution emitters on every big matmul in
+        # the chain (profiled: the two decoder-3 LeFF linear2 dots alone cost
+        # 15.8 ms/frame each at 1664²; with the fence the whole frame is
+        # ~14 ms faster). The barrier is numerically the identity.
+        x = jax.lax.optimization_barrier(x)
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         if shift > 0:
             if self.band_axis is None:
@@ -315,6 +323,28 @@ class LeWinBlock(nn.Module):
                 y = halo_ops.cyclic_unshift_banded(y, shift, self.band_axis)
 
         x = shortcut + DropPath(self.drop_path, name="drop_path1")(y, deterministic)
+        x = jax.lax.optimization_barrier(x)  # same fence for norm2 (above)
+
+        if (self.use_pallas_leff and self.token_mlp == "leff"
+                and deterministic and self.band_axis is None
+                and H % 64 == 0 and W % 64 == 0
+                and not self.is_initializing()):
+            # Fused inference path: LN(norm2)+LeFF in one VMEM-resident
+            # Pallas pass per spatial tile (ops.pallas.leff). Params are the
+            # ones the jnp path created at init — identical checkpoint tree.
+            from dehaze_tpu.ops.pallas.leff import leff_fused
+
+            p = self.variables["params"]
+            z = leff_fused(
+                x,
+                ln_scale=p["norm2"]["scale"], ln_bias=p["norm2"]["bias"],
+                w1=p["mlp"]["linear1"]["kernel"], b1=p["mlp"]["linear1"]["bias"],
+                dw_kernel=p["mlp"]["dwconv"]["kernel"],
+                dw_bias=p["mlp"]["dwconv"]["bias"],
+                w2=p["mlp"]["linear2"]["kernel"], b2=p["mlp"]["linear2"]["bias"],
+                fast_gelu=self.fast_gelu,
+            )
+            return x + z
 
         z = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         hidden = int(C * self.mlp_ratio)
@@ -349,6 +379,7 @@ class UformerStage(nn.Module):
     token_projection: str = "linear"
     se_layer: bool = False
     use_pallas: bool = False
+    use_pallas_leff: bool = False
     fast_gelu: bool = False
     band_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
@@ -375,6 +406,7 @@ class UformerStage(nn.Module):
                 token_projection=self.token_projection,
                 se_layer=self.se_layer,
                 use_pallas=self.use_pallas,
+                use_pallas_leff=self.use_pallas_leff,
                 fast_gelu=self.fast_gelu,
                 band_axis=self.band_axis,
                 dtype=self.dtype,
@@ -436,6 +468,7 @@ class Uformer(nn.Module):
                 token_projection=cfg.token_projection,
                 se_layer=cfg.se_layer,
                 use_pallas=cfg.use_pallas,
+                use_pallas_leff=cfg.use_pallas_leff,
                 fast_gelu=cfg.fast_gelu,
                 band_axis=cfg.band_axis,
                 dtype=cfg.dtype,
