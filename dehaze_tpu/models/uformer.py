@@ -327,7 +327,7 @@ class LeWinBlock(nn.Module):
 
         if (self.use_pallas_leff and self.token_mlp == "leff"
                 and deterministic and self.band_axis is None
-                and H % 64 == 0 and W % 64 == 0
+                and H % 8 == 0
                 and not self.is_initializing()):
             # Fused inference path: LN(norm2)+LeFF in one VMEM-resident
             # Pallas pass per spatial tile (ops.pallas.leff). Params are the

@@ -1,21 +1,26 @@
 """Fused LeFF Pallas kernel: LN → Dense(C→Ch) → GELU → dwconv3×3 → GELU →
-Dense(Ch→C), one VMEM-resident pass per spatial tile.
+Dense(Ch→C), one VMEM-resident pass per row band.
 
 Unfused (XLA), the LeFF chain at decoder-3 of a 1664² canvas materializes a
-1.4 GB hidden tensor twice plus LayerNorm stats — ~35-40 ms per block
-(profiled). This kernel streams 66×66(+1-px halo) tiles: the hidden tensor
-never touches HBM; per-tile traffic is x-in + y-out only.
+1.4 GB hidden tensor twice plus LayerNorm stats, and — worse — the shifted-add
+depthwise conv makes XLA lay the whole chain out W-minor, which forces
+batch-in-lanes convolution emitters on the two big Denses (15.8 ms/frame
+EACH at decoder-3, ~45× off roofline; profiled r2). This kernel streams
+full-width row bands of T rows (+1-row halo): the hidden tensor never touches
+HBM, every DMA is a contiguous band, and the pallas_call pins C-minor
+layouts on its operands so the neighbouring ops keep sane emitters.
 
 Mechanics:
-- the wrapper zero-pads x by 1 pixel (SAME conv halo) and materializes the
-  overlapping (T+2)² tiles with two cheap row/col gathers (+6% memory) —
-  Mosaic cannot DMA partial-lane slices (C=64 inside a 128-lane-padded HBM
-  layout), so tiles are plain pipelined BlockSpec blocks instead of manual
-  DMA;
-- dense1/dense2 are [T², C]→MXU matmuls with big M; the depthwise conv is 9
-  static shifted multiply-adds over the haloed hidden tile;
-- LayerNorm (the block's norm2) is fused in front; the residual add stays
-  outside (XLA fuses it with neighbors).
+- the wrapper zero-pads by 1 px (SAME halo) and materializes the overlapping
+  (T+2)-row bands with ONE row gather ((T+2)/T duplication — T=8 → +25%
+  input bytes, trivial next to the saved hidden traffic);
+- dense1/dense2 are [band·W, C]-row MXU matmuls (M in the tens of thousands);
+  the depthwise conv is 9 static shifted multiply-adds over the haloed f32
+  hidden band — W shifts ride sublanes, H shifts the leading dim;
+- LayerNorm (the block's norm2) runs f32 in front; zero-padding halo pixels
+  are re-zeroed AFTER dense1 (LN+dense1 of a zero pixel is nonzero, but the
+  reference conv's SAME padding must see zeros);
+- the residual add stays outside (XLA fuses it with neighbors).
 
 Forward-only (inference path); training uses the jnp LeFF (XLA AD).
 """
@@ -27,6 +32,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -62,10 +68,10 @@ def _kernel(x_ref, gamma, beta, w1, b1, dw, dwb, w2, b2, out_ref,
             fast_gelu: bool = False):
     gelu = _gelu_tanh if fast_gelu else _gelu_exact
     i = pl.program_id(1)
-    j = pl.program_id(2)
 
-    Ph = Pw = T + 2
-    x = x_ref[0, 0, :, 0, :, :].astype(jnp.float32)  # [Ph, Pw, C]
+    P = T + 2
+    Wp = W + 2
+    x = x_ref[0, 0].astype(jnp.float32)  # [P, Wp, C]
 
     # LayerNorm over channels (norm2 of the LeWin block)
     mu = jnp.mean(x, axis=-1, keepdims=True)
@@ -73,42 +79,40 @@ def _kernel(x_ref, gamma, beta, w1, b1, dw, dwb, w2, b2, out_ref,
     xn = (x - mu) * jax.lax.rsqrt(var + eps)
     xn = xn * gamma[...].astype(jnp.float32) + beta[...].astype(jnp.float32)
 
-    # dense1 + GELU on the haloed tile (pointwise → halo stays valid)
-    xn2 = xn.reshape(Ph * Pw, C).astype(w1.dtype)
+    # dense1 + GELU on the haloed band (pointwise → halo stays valid)
     hid = jax.lax.dot_general(
-        xn2, w1[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + b1[...].astype(jnp.float32)  # [Ph*Pw, Ch]
-    hid = gelu(hid)
-    hid = hid.reshape(Ph, Pw, Ch)
+        xn.reshape(P * Wp, C).astype(w1.dtype), w1[...],
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    ) + b1[...].astype(jnp.float32)  # [P*Wp, Ch]
+    hid = gelu(hid).reshape(P, Wp, Ch)
+
     # Zero the halo ring that lies OUTSIDE the image: the reference conv's
-    # SAME padding sees zeros there, while LN(0-pad) is nonzero. Only
-    # image-border tiles have such rows/cols.
-    rows = jax.lax.broadcasted_iota(jnp.int32, (Ph, Pw), 0) + i * T
-    cols = jax.lax.broadcasted_iota(jnp.int32, (Ph, Pw), 1) + j * T
+    # SAME padding sees zeros there, while dense1(LN(0-pad)) is nonzero.
+    # Rows: only the first/last band have such rows; cols: every band.
+    rows = jax.lax.broadcasted_iota(jnp.int32, (P, Wp), 0) + i * T
+    cols = jax.lax.broadcasted_iota(jnp.int32, (P, Wp), 1)
     inside = (rows >= 1) & (rows <= H) & (cols >= 1) & (cols <= W)
-    # multiply by an f32 mask (Mosaic can't insert a minor dim on i1 vectors)
     hid = hid * inside.astype(jnp.float32)[:, :, None]
     hid = hid.astype(w1.dtype)
 
-    # depthwise 3x3, VALID over the halo → [T, T, Ch]
+    # depthwise 3×3, VALID over the halo → [T, W, Ch]: H shifts ride the
+    # leading dim, W shifts ride sublanes (C stays in lanes — this is the
+    # layout property the shifted-add formulation destroys under XLA)
     k = dw[...]  # [3, 3, Ch]
     acc = None
     for di in range(3):
         for dj in range(3):
-            t = hid[di : di + T, dj : dj + T, :].astype(jnp.float32) * k[
-                di, dj
-            ].astype(jnp.float32)
+            t = hid[di:di + T, dj:dj + W, :].astype(jnp.float32) * k[
+                di, dj].astype(jnp.float32)
             acc = t if acc is None else acc + t
-    acc = acc + dwb[...].astype(jnp.float32)
-    acc = gelu(acc)
+    acc = gelu(acc + dwb[...].astype(jnp.float32))
 
     # dense2 back to C
     y = jax.lax.dot_general(
-        acc.reshape(T * T, Ch).astype(w2.dtype), w2[...],
+        acc.reshape(T * W, Ch).astype(w2.dtype), w2[...],
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     ) + b2[...].astype(jnp.float32)
-    out_ref[0] = y.reshape(T, T, C).astype(out_ref.dtype)
+    out_ref[0] = y.reshape(T, W, C).astype(out_ref.dtype)
 
 
 def leff_fused(
@@ -123,44 +127,41 @@ def leff_fused(
     w2: jnp.ndarray,  # [Ch, C]
     b2: jnp.ndarray,  # [C]
     eps: float = 1e-5,
-    tile: int = 64,
+    tile: int = 8,
     interpret: Optional[bool] = None,
     fast_gelu: bool = False,
 ) -> jnp.ndarray:
-    """LeFF(LN(x)) — fused tile-streaming kernel. H, W must be multiples of
-    `tile` (all supported geometries are multiples of 64... the caller
+    """LeFF(LN(x)) — fused row-band streaming kernel. H must be a multiple
+    of `tile` rows (all supported geometries are multiples of 8; the caller
     falls back to the jnp path otherwise)."""
     B, H, W, C = x.shape
     Ch = w1.shape[1]
     T = tile
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    if H % T or W % T:
-        raise ValueError(f"H, W must be multiples of {T}, got {H}x{W}")
+    if H % T:
+        raise ValueError(f"H must be a multiple of {T}, got {H}x{W}")
 
     dtype = x.dtype
-    nH, nW = H // T, W // T
+    nT = H // T
     P = T + 2
+    Wp = W + 2
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    # overlapping (T+2)-row/col bands via gathers (~6% duplication)
-    import numpy as _np
-
-    ridx = (_np.arange(nH)[:, None] * T + _np.arange(P)[None, :]).reshape(-1)
-    cidx = (_np.arange(nW)[:, None] * T + _np.arange(P)[None, :]).reshape(-1)
+    # overlapping (T+2)-row bands via one row gather (+2/T duplication)
+    ridx = (np.arange(nT)[:, None] * T + np.arange(P)[None, :]).reshape(-1)
     xp = jnp.take(xp, jnp.asarray(ridx), axis=1)
-    xp = jnp.take(xp, jnp.asarray(cidx), axis=2)
-    xp = xp.reshape(B, nH, P, nW, P, C)
+    xp = xp.reshape(B, nT, P, Wp, C)
     dw = dw_kernel.reshape(3, 3, Ch).astype(dtype)
 
-    grid = (B, nH, nW)
+    grid = (B, nT)
     kernel = functools.partial(_kernel, T=T, C=C, Ch=Ch, H=H, W=W, eps=eps,
                                fast_gelu=fast_gelu)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, P, 1, P, C), lambda b, i, j: (b, i, 0, j, 0, 0),
-                         memory_space=pltpu.VMEM),  # haloed tile
+            pl.BlockSpec((1, 1, P, Wp, C), lambda b, i: (b, i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),  # haloed row band
             pl.BlockSpec(memory_space=pltpu.VMEM),  # ln scale
             pl.BlockSpec(memory_space=pltpu.VMEM),  # ln bias
             pl.BlockSpec(memory_space=pltpu.VMEM),  # w1
@@ -171,7 +172,7 @@ def leff_fused(
             pl.BlockSpec(memory_space=pltpu.VMEM),  # b2
         ],
         out_specs=pl.BlockSpec(
-            (1, T, T, C), lambda b, i, j: (b, i, j, 0), memory_space=pltpu.VMEM
+            (1, T, W, C), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B, H, W, C), dtype),
         interpret=interpret,

@@ -680,6 +680,7 @@ def fused_window_attention(
     scale: Optional[float] = None,
     interpret: Optional[bool] = None,
     wtile: int = 16,
+    version: int = 4,
 ) -> jnp.ndarray:
     """Differentiable fused ProbSparse window attention, Dense-native layout.
 
@@ -688,6 +689,10 @@ def fused_window_attention(
     same layout (feed it straight to the output Dense). Both forward and
     backward run fused Pallas kernels (custom VJP; the backward recomputes
     the chain in VMEM flash-style and also emits the rel-pos-bias grad).
+
+    version=4 (default): per-window batched dots, zero packing transposes,
+    exactly the useful MXU FLOPs. version=3: block-diagonal lane packing
+    (kept for comparison; 16× MXU arithmetic waste at wtile=16).
     """
     B, N, C = q.shape
     d = C // num_heads
@@ -698,9 +703,235 @@ def fused_window_attention(
     u = probsparse_u(N, factor)
     use_mask = sw_region is not None
     use_bias = rel_pos_bias is not None
-    q2, k2, v2, cnt_t, bias_t, region, B_pad = _prep_v3(
-        q, k, v, sample_idx, rel_pos_bias, sw_region, num_windows, wtile)
     statics = (u, wtile, N, d, num_heads, float(scale), use_bias, use_mask,
                bool(interpret))
-    out = _fused_attn_v3(statics, q2, k2, v2, cnt_t, bias_t, region)
+    if version == 4:
+        q2, k2, v2, cnt, bias, region, B_pad = _prep_v4(
+            q, k, v, sample_idx, rel_pos_bias, sw_region, num_windows, wtile)
+        out = _fused_attn_v4(statics, q2, k2, v2, cnt, bias, region)
+    else:
+        q2, k2, v2, cnt_t, bias_t, region, B_pad = _prep_v3(
+            q, k, v, sample_idx, rel_pos_bias, sw_region, num_windows, wtile)
+        out = _fused_attn_v3(statics, q2, k2, v2, cnt_t, bias_t, region)
     return out.reshape(B_pad, N, C)[:B]
+
+
+# ---------------------------------------------------------------------------
+# v4: Dense-native layout with per-window BATCHED dots. v3 packed windows
+# block-diagonally to fill the MXU's contraction dim, but a block-diagonal
+# [WT·D, WT·N] operand makes the MXU compute WT× the useful FLOPs — at
+# WT=16 that is 16× arithmetic waste, which capped v3 ~8% behind the jnp
+# path at whole-image geometry. v4 keeps the Dense-native [T, C] interface
+# (zero relayouts outside) but runs the window dots as Mosaic batched
+# dot_generals on [WT, N, D] views: leading-dim reshapes only (probed
+# supported), no packing transposes, no masked broadcasts, exactly the
+# useful FLOPs. Per-window [64, 32]×[32, 64] dots underfill the 128×128
+# MXU, but the whole chain is HBM-bound — the MXU is not the constraint.
+# ---------------------------------------------------------------------------
+
+
+def _head_chain_v4(qh, kh, vh, bias_h, reg, cnt, *, u, wt, n, d, scale,
+                   use_bias, use_mask):
+    """One head: qh/kh/vh [T, D] token-major VMEM tiles; returns ([T, D]
+    context, residuals). All window structure rides leading-dim reshapes."""
+    f32 = jnp.float32
+    q3 = qh.astype(f32).reshape(wt, n, d) * f32(scale)
+    k3 = kh.astype(f32).reshape(wt, n, d)
+    v3 = vh.astype(f32).reshape(wt, n, d)
+
+    s = jax.lax.dot_general(q3, k3, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=f32)  # [WT, N(i), N(j)]
+
+    # sparsity measure M over sampled columns (gather-free, attn.py:104-117);
+    # NOTE: s here is pre-scaled (scale folded into q) exactly like v2/v3.
+    m_max = jnp.max(jnp.where(cnt[None] > 0, s, f32(-1e30)), axis=2)
+    m_sum = jnp.sum(s * cnt[None], axis=2)
+    m = m_max - m_sum / n                                 # [WT, N(i)]
+
+    # lexicographic rank -> top-u row mask (attn.py:122)
+    lhs = m[:, None, :]   # m[w, i']
+    rhs = m[:, :, None]   # m[w, i]
+    ip = jax.lax.broadcasted_iota(jnp.int32, (wt, n, n), 2)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (wt, n, n), 1)
+    beats = (lhs > rhs) | ((lhs == rhs) & (ip < ii))
+    rank = jnp.sum(beats.astype(f32), axis=2)             # [WT, N(i)]
+    selected = rank < u
+
+    e = jnp.exp(s - jnp.max(s, axis=2, keepdims=True))
+    a1 = e / jnp.sum(e, axis=2, keepdims=True)
+    z = a1
+    if use_bias:
+        z = z + bias_h[None].astype(f32)
+    if use_mask:
+        z = z + jnp.where(reg[:, :, None] != reg[:, None, :],
+                          f32(-100.0), f32(0.0))
+    e2 = jnp.exp(z - jnp.max(z, axis=2, keepdims=True))
+    a2 = e2 / jnp.sum(e2, axis=2, keepdims=True)           # [WT, N, N]
+
+    ctx = jax.lax.dot_general(a2.astype(vh.dtype), v3.astype(vh.dtype),
+                              (((2,), (1,)), ((0,), (0,))),
+                              preferred_element_type=f32)  # [WT, N, D]
+    vm = jnp.mean(v3, axis=1, keepdims=True)               # [WT, 1, D]
+    out = jnp.where(selected[:, :, None], ctx, vm)
+    return out.reshape(wt * n, d), (q3, k3, v3, a1, a2, selected)
+
+
+def _kernel_v4(q_ref, k_ref, v_ref, cnt_ref, bias_ref, region_ref, out_ref,
+               *, u: int, wt: int, n: int, d: int, nh: int, scale: float,
+               use_bias: bool, use_mask: bool):
+    """Blocks: q/k/v/out [WT·N, C] token-major; cnt [N, N] (i, c);
+    bias [NH, N, N] (i, j); region [1, WT, N]."""
+    reg = region_ref[0] if use_mask else None
+    cnt = cnt_ref[:]
+    for hh in range(nh):
+        sl = slice(hh * d, (hh + 1) * d)
+        ctx, _ = _head_chain_v4(
+            q_ref[:, sl], k_ref[:, sl], v_ref[:, sl],
+            bias_ref[hh] if use_bias else None, reg, cnt,
+            u=u, wt=wt, n=n, d=d, scale=scale,
+            use_bias=use_bias, use_mask=use_mask)
+        out_ref[:, sl] = ctx.astype(out_ref.dtype)
+
+
+def _kernel_v4_bwd(q_ref, k_ref, v_ref, cnt_ref, bias_ref, region_ref, g_ref,
+                   dq_ref, dk_ref, dv_ref, db_ref, *, u: int, wt: int, n: int,
+                   d: int, nh: int, scale: float, use_bias: bool,
+                   use_mask: bool):
+    """Backward: recompute the chain per head (flash-style), then the grad
+    dots — batched per window, mirroring _kernel_v3_bwd's math."""
+    f32 = jnp.float32
+    reg = region_ref[0] if use_mask else None
+    cnt = cnt_ref[:]
+    for hh in range(nh):
+        sl = slice(hh * d, (hh + 1) * d)
+        _, res = _head_chain_v4(
+            q_ref[:, sl], k_ref[:, sl], v_ref[:, sl],
+            bias_ref[hh] if use_bias else None, reg, cnt,
+            u=u, wt=wt, n=n, d=d, scale=scale,
+            use_bias=use_bias, use_mask=use_mask)
+        q3, k3, v3, a1, a2, selected = res
+        sel = selected[:, :, None].astype(f32)             # [WT, N, 1]
+
+        g3 = g_ref[:, sl].astype(f32).reshape(wt, n, d)
+        g_sel = g3 * sel
+        g_unsel = g3 - g_sel
+
+        # dv[w,j,d] = Σ_i a2[w,i,j]·g_sel[w,i,d] + Σ_i g_unsel[w,i,d]/n
+        dv = jax.lax.dot_general(a2, g_sel, (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=f32)
+        dv = dv + jnp.sum(g_unsel, axis=1, keepdims=True) / n
+        dv_ref[:, sl] = dv.reshape(wt * n, d).astype(dv_ref.dtype)
+
+        # da2[w,i,j] = Σ_d g_sel[w,i,d]·v[w,j,d]
+        da2 = jax.lax.dot_general(g_sel, v3, (((2,), (2,)), ((0,), (0,))),
+                                  preferred_element_type=f32)
+        dz = a2 * (da2 - jnp.sum(da2 * a2, axis=2, keepdims=True))
+        if use_bias:
+            db = jnp.sum(dz, axis=0)                        # [N, N]
+
+            @pl.when(pl.program_id(0) == 0)
+            def _():
+                db_ref[hh] = jnp.zeros_like(db_ref[hh])
+
+            db_ref[hh] = db_ref[hh] + db
+        ds = a1 * (dz - jnp.sum(dz * a1, axis=2, keepdims=True))
+
+        # dq[w,i,d] = Σ_j ds[w,i,j]·k[w,j,d]·scale  (q3 carried the scale)
+        dq = jax.lax.dot_general(ds, k3, (((2,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=f32) * f32(scale)
+        dq_ref[:, sl] = dq.reshape(wt * n, d).astype(dq_ref.dtype)
+        # dk[w,j,d] = Σ_i ds[w,i,j]·q3[w,i,d]  (q3 pre-scaled)
+        dk = jax.lax.dot_general(ds, q3, (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=f32)
+        dk_ref[:, sl] = dk.reshape(wt * n, d).astype(dk_ref.dtype)
+
+
+def _prep_v4(q, k, v, sample_idx, rel_pos_bias, sw_region, num_windows, wt):
+    """Pad B_ to a wt multiple and flatten to the kernel's [B_·N, C] layout
+    (bias/cnt stay in their natural (i, j) orientation, unlike v3)."""
+    B, N, C = q.shape
+    B_pad = -(-B // wt) * wt
+    if B_pad != B:
+        pad = ((0, B_pad - B), (0, 0), (0, 0))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    q2, k2, v2 = (t.reshape(B_pad * N, C) for t in (q, k, v))
+    cnt = sample_count_matrix(sample_idx, N)
+    if rel_pos_bias is not None:
+        bias = rel_pos_bias.astype(jnp.float32)
+    else:
+        bias = jnp.zeros((1, N, N), jnp.float32)
+    if sw_region is not None:
+        reps = -(-B_pad // num_windows)
+        region = jnp.tile(sw_region.astype(jnp.int32), (reps, 1))[:B_pad]
+    else:
+        region = jnp.zeros((B_pad, N), jnp.int32)
+    region = region.reshape(B_pad // wt, wt, N).astype(jnp.float32)
+    return q2, k2, v2, cnt, bias, region, B_pad
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_attn_v4(statics, q2, k2, v2, cnt, bias, region_f):
+    out, _ = _fused_attn_v4_fwd(statics, q2, k2, v2, cnt, bias, region_f)
+    return out
+
+
+def _fused_attn_v4_fwd(statics, q2, k2, v2, cnt, bias, region_f):
+    u, wt, n, d, nh, scale, use_bias, use_mask, interpret = statics
+    BN, C = q2.shape
+    nwt = BN // (wt * n)
+    kernel = functools.partial(_kernel_v4, u=u, wt=wt, n=n, d=d, nh=nh,
+                               scale=scale, use_bias=use_bias,
+                               use_mask=use_mask)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nwt,),
+        in_specs=_v3_specs(wt, n, C, bias.shape[0]),
+        out_specs=pl.BlockSpec((wt * n, C), lambda w: (w, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((BN, C), v2.dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (BN // n) * nh * 2 * n * n * d,
+            bytes_accessed=4 * BN * C * q2.dtype.itemsize,
+            transcendentals=2 * (BN // n) * nh * n * n,
+        ),
+    )(q2, k2, v2, cnt, bias, region_f.astype(jnp.int32))
+    return out, (q2, k2, v2, cnt, bias, region_f)
+
+
+def _fused_attn_v4_bwd(statics, res, g):
+    u, wt, n, d, nh, scale, use_bias, use_mask, interpret = statics
+    q2, k2, v2, cnt, bias, region_f = res
+    BN, C = q2.shape
+    nwt = BN // (wt * n)
+    kernel = functools.partial(_kernel_v4_bwd, u=u, wt=wt, n=n, d=d, nh=nh,
+                               scale=scale, use_bias=use_bias,
+                               use_mask=use_mask)
+    specs = _v3_specs(wt, n, C, bias.shape[0])
+    g_spec = pl.BlockSpec((wt * n, C), lambda w: (w, 0),
+                          memory_space=pltpu.VMEM)
+    db_spec = pl.BlockSpec((bias.shape[0], n, n), lambda w: (0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    dq, dk, dv, db = pl.pallas_call(
+        kernel,
+        grid=(nwt,),
+        in_specs=specs + [g_spec],
+        out_specs=[g_spec, g_spec, g_spec, db_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((BN, C), jnp.float32),
+            jax.ShapeDtypeStruct((BN, C), jnp.float32),
+            jax.ShapeDtypeStruct((BN, C), jnp.float32),
+            jax.ShapeDtypeStruct(bias.shape, jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(q2, k2, v2, cnt, bias, region_f.astype(jnp.int32), g.astype(v2.dtype))
+    return (dq.astype(q2.dtype), dk.astype(k2.dtype), dv.astype(v2.dtype),
+            jnp.zeros_like(cnt), db.astype(bias.dtype),
+            jnp.zeros_like(region_f))
+
+
+_fused_attn_v4.defvjp(_fused_attn_v4_fwd, _fused_attn_v4_bwd)

@@ -61,3 +61,22 @@ def test_leff_fused_rejects_bad_tile():
                    w1=p["w1"], b1=p["b1"], dw_kernel=p["dw_kernel"],
                    dw_bias=p["dw_bias"], w2=p["w2"], b2=p["b2"], tile=8,
                    interpret=True)
+
+
+def test_model_fused_leff_matches_jnp():
+    """Whole-model equality: use_pallas_leff=True (interpret) vs jnp path."""
+    from dehaze_tpu.config import ModelConfig
+    from dehaze_tpu.models.uformer import Uformer
+
+    key = jax.random.PRNGKey(0)
+    x = jnp.asarray(np.random.default_rng(3).uniform(size=(1, 64, 64, 3)),
+                    jnp.float32)
+    outs = {}
+    for fused in (False, True):
+        cfg = ModelConfig(img_size=64, embed_dim=8, dtype=jnp.float32,
+                          use_pallas_leff=fused)
+        model = Uformer(cfg)
+        v = model.init({"params": key, "sample": key}, x)
+        outs[fused] = model.apply(v, x, train=False, rngs={"sample": key})
+    np.testing.assert_allclose(np.asarray(outs[True]), np.asarray(outs[False]),
+                               rtol=2e-4, atol=2e-4)
