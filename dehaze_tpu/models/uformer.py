@@ -118,9 +118,13 @@ class WindowAttention(nn.Module):
                          name="value")(x)
             u_part = ps_ops.probsparse_u(n, self.factor)
             sample_idx = ps_ops.sample_indices(self.make_rng("sample"), n, n, u_part)
-            if self.use_pallas and pad_flag is None:
+            if self.use_pallas and pad_flag is None and h <= 4:
                 # fused Pallas kernels, Dense-native layout, custom VJP —
-                # runs in training too (grad parity tested vs the jnp path)
+                # runs in training too (grad parity tested vs the jnp path).
+                # h <= 4 covers every many-window stage (heads grow as
+                # windows shrink 4x per stage, so h=8/16 stages are ~1% of
+                # the work) and keeps the unrolled per-head Mosaic program
+                # small — 16 unrolled heads at C=512 wedged the compiler.
                 from dehaze_tpu.ops.pallas.window_attention import (
                     fused_window_attention,
                 )

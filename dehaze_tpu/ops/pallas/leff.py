@@ -80,20 +80,23 @@ def _kernel(x_ref, gamma, beta, w1, b1, dw, dwb, w2, b2, out_ref,
     xn = xn * gamma[...].astype(jnp.float32) + beta[...].astype(jnp.float32)
 
     # dense1 + GELU on the haloed band (pointwise → halo stays valid)
-    hid = jax.lax.dot_general(
+    # bf16 elementwise from here (the jnp path's Dense(dtype=bf16) + gelu
+    # run in bf16 too; VPU bf16 is 2x-packed, and this chain is VPU-bound)
+    hid = (jax.lax.dot_general(
         xn.reshape(P * Wp, C).astype(w1.dtype), w1[...],
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-    ) + b1[...].astype(jnp.float32)  # [P*Wp, Ch]
+    ) + b1[...].astype(jnp.float32)).astype(out_ref.dtype)  # [P*Wp, Ch]
     hid = gelu(hid).reshape(P, Wp, Ch)
 
     # Zero the halo ring that lies OUTSIDE the image: the reference conv's
     # SAME padding sees zeros there, while dense1(LN(0-pad)) is nonzero.
     # Rows: only the first/last band have such rows; cols: every band.
-    rows = jax.lax.broadcasted_iota(jnp.int32, (P, Wp), 0) + i * T
-    cols = jax.lax.broadcasted_iota(jnp.int32, (P, Wp), 1)
+    # 3-D iota from the start: Mosaic can't insert a minor dim on non-32-bit
+    # vectors, so the mask is born [P, Wp, 1] and broadcast-multiplies.
+    rows = jax.lax.broadcasted_iota(jnp.int32, (P, Wp, 1), 0) + i * T
+    cols = jax.lax.broadcasted_iota(jnp.int32, (P, Wp, 1), 1)
     inside = (rows >= 1) & (rows <= H) & (cols >= 1) & (cols <= W)
-    hid = hid * inside.astype(jnp.float32)[:, :, None]
-    hid = hid.astype(w1.dtype)
+    hid = hid * inside.astype(hid.dtype)
 
     # depthwise 3×3, VALID over the halo → [T, W, Ch]: H shifts ride the
     # leading dim, W shifts ride sublanes (C stays in lanes — this is the
@@ -102,10 +105,9 @@ def _kernel(x_ref, gamma, beta, w1, b1, dw, dwb, w2, b2, out_ref,
     acc = None
     for di in range(3):
         for dj in range(3):
-            t = hid[di:di + T, dj:dj + W, :].astype(jnp.float32) * k[
-                di, dj].astype(jnp.float32)
+            t = hid[di:di + T, dj:dj + W, :] * k[di, dj]
             acc = t if acc is None else acc + t
-    acc = gelu(acc + dwb[...].astype(jnp.float32))
+    acc = gelu(acc + dwb[...].astype(acc.dtype))
 
     # dense2 back to C
     y = jax.lax.dot_general(

@@ -730,41 +730,50 @@ def fused_window_attention(
 # ---------------------------------------------------------------------------
 
 
-def _head_chain_v4(qh, kh, vh, bias_h, reg, cnt, *, u, wt, n, d, scale,
-                   use_bias, use_mask):
+def _head_chain_v4(qh, kh, vh, bias_h, regm, cnt, iop, ioi, *, u, wt, n, d,
+                   scale, use_bias, use_mask):
     """One head: qh/kh/vh [T, D] token-major VMEM tiles; returns ([T, D]
-    context, residuals). All window structure rides leading-dim reshapes."""
+    context, residuals). All window structure rides leading-dim reshapes.
+    regm ([WT,N,N] additive mask), iop/ioi (iotas) are hoisted out of the
+    unrolled head loop — re-emitting them per head made Mosaic compile time
+    explode at 16 heads (observed: >9 min for one bottleneck kernel)."""
     f32 = jnp.float32
-    q3 = qh.astype(f32).reshape(wt, n, d) * f32(scale)
-    k3 = kh.astype(f32).reshape(wt, n, d)
+    store_t = vh.dtype if vh.dtype != f32 else f32
+    q3 = qh.reshape(wt, n, d)
+    k3 = kh.reshape(wt, n, d)
     v3 = vh.astype(f32).reshape(wt, n, d)
 
+    # bf16 operands, f32 accumulation, then ROUND the scores to the store
+    # dtype exactly like the jnp path (probsparse_attention rounds scores to
+    # bf16 at fusion boundaries) — this keeps the top-u SELECTION
+    # bit-identical between the kernel and the jnp path; without it,
+    # near-tie sparsity scores flip rows between attention and mean(V).
     s = jax.lax.dot_general(q3, k3, (((2,), (2,)), ((0,), (0,))),
                             preferred_element_type=f32)  # [WT, N(i), N(j)]
+    s = s.astype(store_t).astype(f32)
 
-    # sparsity measure M over sampled columns (gather-free, attn.py:104-117);
-    # NOTE: s here is pre-scaled (scale folded into q) exactly like v2/v3.
+    # sparsity measure M over sampled columns (gather-free, attn.py:104-117)
+    # on the UNSCALED rounded scores, like the jnp path.
     m_max = jnp.max(jnp.where(cnt[None] > 0, s, f32(-1e30)), axis=2)
     m_sum = jnp.sum(s * cnt[None], axis=2)
     m = m_max - m_sum / n                                 # [WT, N(i)]
+    s = s * f32(scale)
 
     # lexicographic rank -> top-u row mask (attn.py:122)
     lhs = m[:, None, :]   # m[w, i']
     rhs = m[:, :, None]   # m[w, i]
-    ip = jax.lax.broadcasted_iota(jnp.int32, (wt, n, n), 2)
-    ii = jax.lax.broadcasted_iota(jnp.int32, (wt, n, n), 1)
-    beats = (lhs > rhs) | ((lhs == rhs) & (ip < ii))
+    beats = (lhs > rhs) | ((lhs == rhs) & (iop < ioi))
     rank = jnp.sum(beats.astype(f32), axis=2)             # [WT, N(i)]
     selected = rank < u
 
     e = jnp.exp(s - jnp.max(s, axis=2, keepdims=True))
     a1 = e / jnp.sum(e, axis=2, keepdims=True)
+    a1 = a1.astype(store_t).astype(f32)  # jnp-path rounding, kept identical
     z = a1
     if use_bias:
         z = z + bias_h[None].astype(f32)
     if use_mask:
-        z = z + jnp.where(reg[:, :, None] != reg[:, None, :],
-                          f32(-100.0), f32(0.0))
+        z = z + regm
     e2 = jnp.exp(z - jnp.max(z, axis=2, keepdims=True))
     a2 = e2 / jnp.sum(e2, axis=2, keepdims=True)           # [WT, N, N]
 
@@ -781,13 +790,20 @@ def _kernel_v4(q_ref, k_ref, v_ref, cnt_ref, bias_ref, region_ref, out_ref,
                use_bias: bool, use_mask: bool):
     """Blocks: q/k/v/out [WT·N, C] token-major; cnt [N, N] (i, c);
     bias [NH, N, N] (i, j); region [1, WT, N]."""
-    reg = region_ref[0] if use_mask else None
     cnt = cnt_ref[:]
+    f32 = jnp.float32
+    regm = None
+    if use_mask:
+        reg = region_ref[0]
+        regm = jnp.where(reg[:, :, None] != reg[:, None, :],
+                         f32(-100.0), f32(0.0))
+    iop = jax.lax.broadcasted_iota(jnp.int32, (wt, n, n), 2)
+    ioi = jax.lax.broadcasted_iota(jnp.int32, (wt, n, n), 1)
     for hh in range(nh):
         sl = slice(hh * d, (hh + 1) * d)
         ctx, _ = _head_chain_v4(
             q_ref[:, sl], k_ref[:, sl], v_ref[:, sl],
-            bias_ref[hh] if use_bias else None, reg, cnt,
+            bias_ref[hh] if use_bias else None, regm, cnt, iop, ioi,
             u=u, wt=wt, n=n, d=d, scale=scale,
             use_bias=use_bias, use_mask=use_mask)
         out_ref[:, sl] = ctx.astype(out_ref.dtype)
@@ -800,13 +816,19 @@ def _kernel_v4_bwd(q_ref, k_ref, v_ref, cnt_ref, bias_ref, region_ref, g_ref,
     """Backward: recompute the chain per head (flash-style), then the grad
     dots — batched per window, mirroring _kernel_v3_bwd's math."""
     f32 = jnp.float32
-    reg = region_ref[0] if use_mask else None
     cnt = cnt_ref[:]
+    regm = None
+    if use_mask:
+        reg = region_ref[0]
+        regm = jnp.where(reg[:, :, None] != reg[:, None, :],
+                         f32(-100.0), f32(0.0))
+    iop = jax.lax.broadcasted_iota(jnp.int32, (wt, n, n), 2)
+    ioi = jax.lax.broadcasted_iota(jnp.int32, (wt, n, n), 1)
     for hh in range(nh):
         sl = slice(hh * d, (hh + 1) * d)
         _, res = _head_chain_v4(
             q_ref[:, sl], k_ref[:, sl], v_ref[:, sl],
-            bias_ref[hh] if use_bias else None, reg, cnt,
+            bias_ref[hh] if use_bias else None, regm, cnt, iop, ioi,
             u=u, wt=wt, n=n, d=d, scale=scale,
             use_bias=use_bias, use_mask=use_mask)
         q3, k3, v3, a1, a2, selected = res
@@ -836,13 +858,15 @@ def _kernel_v4_bwd(q_ref, k_ref, v_ref, cnt_ref, bias_ref, region_ref, g_ref,
             db_ref[hh] = db_ref[hh] + db
         ds = a1 * (dz - jnp.sum(dz * a1, axis=2, keepdims=True))
 
-        # dq[w,i,d] = Σ_j ds[w,i,j]·k[w,j,d]·scale  (q3 carried the scale)
-        dq = jax.lax.dot_general(ds, k3, (((2,), (1,)), ((0,), (0,))),
+        # dq[w,i,d] = Σ_j ds[w,i,j]·k[w,j,d]·scale
+        dq = jax.lax.dot_general(ds, k3.astype(f32),
+                                 (((2,), (1,)), ((0,), (0,))),
                                  preferred_element_type=f32) * f32(scale)
         dq_ref[:, sl] = dq.reshape(wt * n, d).astype(dq_ref.dtype)
-        # dk[w,j,d] = Σ_i ds[w,i,j]·q3[w,i,d]  (q3 pre-scaled)
-        dk = jax.lax.dot_general(ds, q3, (((1,), (1,)), ((0,), (0,))),
-                                 preferred_element_type=f32)
+        # dk[w,j,d] = Σ_i ds[w,i,j]·q[w,i,d]·scale
+        dk = jax.lax.dot_general(ds, q3.astype(f32),
+                                 (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=f32) * f32(scale)
         dk_ref[:, sl] = dk.reshape(wt * n, d).astype(dk_ref.dtype)
 
 
