@@ -1,0 +1,71 @@
+"""Sustained-throughput folder dehazing (serving mode).
+
+Pipelines PNG decode → jitted whole-image forward → PNG encode
+(`infer.stream`), unlike the reference's strictly serial
+`test_long_GPU.py:66-98` loop where the accelerator idles during host IO.
+
+    python -m dehaze_tpu.cli.stream --input_dir .../test/hazy \
+        --weights .../model_best.msgpack --result_dir ./out [--square]
+
+Prints one summary line with the sustained Mpix/s (decode+compute+encode).
+"""
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+
+from dehaze_tpu.cli.common import add_common_args, config_from_args
+from dehaze_tpu.models import get_arch
+from dehaze_tpu.train.checkpoint import load_checkpoint
+from dehaze_tpu.infer.stream import stream_dehaze
+
+
+def main():
+    p = add_common_args(argparse.ArgumentParser(description="streaming dehaze"))
+    p.add_argument("--input_dir", required=True,
+                   help="directory of hazy images (flat, or a HAZY/ subdir)")
+    p.add_argument("--weights", required=True)
+    p.add_argument("--result_dir", default="./results/stream")
+    p.add_argument("--square", action="store_true",
+                   help="use the reference's square canvas protocol "
+                        "(default: rectangular wrap-pad, same crop, faster)")
+    args = p.parse_args()
+    cfg = config_from_args(args)
+
+    model = get_arch(cfg.model)
+    key = jax.random.PRNGKey(0)
+    probe = jnp.zeros((1, args.train_ps, args.train_ps, 3), jnp.float32)
+    variables = jax.jit(
+        lambda: model.init({"params": key, "sample": key}, probe)
+    )()
+    _, params, _, _ = load_checkpoint(args.weights, variables["params"])
+    variables = {"params": params}
+
+    def apply_fn(x):
+        return model.apply(variables, x, train=False, rngs={"sample": key})
+
+    src = args.input_dir
+    sub = os.path.join(src, "HAZY")
+    if os.path.isdir(sub):
+        src = sub
+    names = sorted(
+        f for f in os.listdir(src)
+        if f.lower().endswith((".png", ".jpg", ".jpeg", ".bmp"))
+    )
+    if not names:
+        raise SystemExit(f"no images found in {src}")
+    os.makedirs(args.result_dir, exist_ok=True)
+    frames = [(os.path.join(src, n), os.path.join(args.result_dir, n))
+              for n in names]
+
+    stats = stream_dehaze(apply_fn, frames, ps=args.train_ps,
+                          square=args.square)
+    print(f"{stats['frames']} frames in {stats['sec']:.2f}s = "
+          f"{stats['mpix_s']:.3f} Mpix/s sustained "
+          f"({'square' if args.square else 'rect'} canvas)")
+
+
+if __name__ == "__main__":
+    main()

@@ -27,6 +27,11 @@ def main():
     p.add_argument("--weights", required=True)
     p.add_argument("--result_dir", default="./results/long")
     p.add_argument("--save_images", action="store_true", default=True)
+    p.add_argument("--rect_canvas", action="store_true",
+                   help="pad H and W independently instead of the square "
+                        "LxL canvas: same crop semantics, -23%% compute on "
+                        "1200x1600 (default: square, exact reference "
+                        "protocol)")
     p.add_argument("--ssim_data_range", type=float, default=2.0,
                    help="2.0 replicates skimage's float default used for the "
                         "published numbers; 1.0 is physically correct")
@@ -55,7 +60,8 @@ def main():
     for clean, hazy, name in val_images(folder):
         h, w = hazy.shape[:2]
         if geom != (h, w):
-            run = make_whole_image_fn(apply_fn, h, w, args.train_ps)
+            run = make_whole_image_fn(apply_fn, h, w, args.train_ps,
+                                      square=not args.rect_canvas)
             geom = (h, w)
         out = np.asarray(run(jnp.asarray(hazy)[None])[0])
         psnr = float(M.psnr(jnp.asarray(out), jnp.asarray(clean)))

@@ -1,0 +1,90 @@
+"""Sustained-throughput streaming inference: decode → device → encode with
+overlap.
+
+The reference's whole-image script (`test_long_GPU.py:66-98`) is strictly
+serial: cv2.imread → forward → imwrite per frame, so the GPU idles during
+host IO. This runner pipelines the three stages with two thread pools:
+
+    decode pool ──> device queue (depth 2) ──> jitted forward ──> encode pool
+
+The device stays busy as long as decode keeps up (PNG decode of a 1200×1600
+frame is ~20-40 ms on one core — well under the 0.35 s device step, so the
+pipeline is device-bound and the steady-state rate equals the bench rate).
+Frames are grouped by geometry; each distinct (H, W) compiles once.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import time
+from typing import Callable, Dict, Iterable, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dehaze_tpu.infer.tiled import make_whole_image_fn
+
+
+def stream_dehaze(
+    apply_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    frames: Iterable[Tuple[str, str]],  # (input_path, output_path)
+    ps: int = 128,
+    square: bool = False,
+    decode_workers: int = 2,
+    encode_workers: int = 2,
+    load_fn: Optional[Callable[[str], np.ndarray]] = None,
+    save_fn: Optional[Callable[[str, np.ndarray], None]] = None,
+) -> Dict[str, float]:
+    """Dehaze a stream of frames with decode/compute/encode overlap.
+
+    Returns {"frames": n, "mpix_s": sustained Mpix/s, "sec": wall}.
+    Decode runs `decode_workers` frames ahead; encode is fire-and-forget
+    (joined before returning). `square=False` uses the rectangular wrap-pad
+    canvas (identical crop semantics, −23% compute on 1200×1600; pass True
+    for the reference's exact square protocol).
+    """
+    if load_fn is None:
+        from dehaze_tpu.data.images import load_img as load_fn
+    if save_fn is None:
+        from dehaze_tpu.data.images import save_img as save_fn
+
+    frames = list(frames)
+    if not frames:
+        return {"frames": 0, "mpix_s": 0.0, "sec": 0.0}
+
+    runs: Dict[Tuple[int, int], Callable] = {}
+
+    def get_run(h: int, w: int):
+        if (h, w) not in runs:
+            runs[(h, w)] = make_whole_image_fn(apply_fn, h, w, ps,
+                                               square=square)
+        return runs[(h, w)]
+
+    total_pix = 0
+    n = 0
+    with cf.ThreadPoolExecutor(decode_workers) as dec, \
+            cf.ThreadPoolExecutor(encode_workers) as enc:
+        decoded = [dec.submit(load_fn, p) for p, _ in frames]
+        pending: list = []  # (device_out, out_path) — keep device queue ≤ 2
+        enc_futs = []
+        t0 = time.perf_counter()
+        for (in_path, out_path), fut in zip(frames, decoded):
+            img = fut.result()
+            h, w = img.shape[:2]
+            run = get_run(h, w)
+            out = run(jnp.asarray(img)[None])  # async dispatch
+            pending.append((out, out_path))
+            total_pix += h * w
+            n += 1
+            while len(pending) > 2:
+                done, path = pending.pop(0)
+                arr = np.asarray(done[0])  # blocks on that frame only
+                enc_futs.append(enc.submit(save_fn, path, arr))
+        for done, path in pending:
+            arr = np.asarray(done[0])
+            enc_futs.append(enc.submit(save_fn, path, arr))
+        for f in enc_futs:
+            f.result()
+        dt = time.perf_counter() - t0
+    return {"frames": n, "mpix_s": total_pix / 1e6 / dt, "sec": dt}
