@@ -109,6 +109,17 @@ def main():
         r["device"] = str(jax.devices()[0])
         print(json.dumps(r))
 
+    if args.profile:
+        # op-level attribution of the captured trace (utils.xprof) — the
+        # workflow that found the round-2 layout wins (DESIGN.md)
+        try:
+            from dehaze_tpu.utils.xprof import summarize
+
+            lines, _ = summarize(args.profile, steps=1)
+            print("\n".join(lines))
+        except (ImportError, FileNotFoundError) as e:  # tf not present etc.
+            print(f"[profile summary unavailable: {e}]")
+
 
 if __name__ == "__main__":
     main()
