@@ -57,8 +57,16 @@ def stream_dehaze(
 
     def get_run(h: int, w: int):
         if (h, w) not in runs:
-            runs[(h, w)] = make_whole_image_fn(apply_fn, h, w, ps,
-                                               square=square)
+            base = make_whole_image_fn(apply_fn, h, w, ps, square=square)
+
+            # quantize to uint8 ON DEVICE (same rounding as
+            # data.images.save_img): 4x less device->host traffic per frame
+            # — PCIe on real hardware, the HTTP relay tunnel here
+            def run_u8(x, _base=base):
+                y = jnp.clip(_base(x), 0.0, 1.0)
+                return jnp.clip(y * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
+
+            runs[(h, w)] = jax.jit(run_u8)
         return runs[(h, w)]
 
     total_pix = 0
