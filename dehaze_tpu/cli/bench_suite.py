@@ -39,16 +39,21 @@ def timeit(fn, *args, warmup=2, iters=5):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--modes", default="fwd_whole,fwd_patch,train")
+    p.add_argument("--arch", default="uformer", choices=["uformer", "ffa"])
     p.add_argument("--pallas", action="store_true")
+    p.add_argument("--fast_gelu", action="store_true")
     p.add_argument("--embed_dim", type=int, default=32)
     p.add_argument("--profile", default=None)
     p.add_argument("--whole_hw", default="1200x1600")
     args = p.parse_args()
     modes = args.modes.split(",")
 
-    cfg = ModelConfig(img_size=128, embed_dim=args.embed_dim,
-                      dtype=jnp.bfloat16, use_pallas=args.pallas)
-    model = Uformer(cfg)
+    cfg = ModelConfig(arch=args.arch, img_size=128, embed_dim=args.embed_dim,
+                      dtype=jnp.bfloat16, use_pallas=args.pallas,
+                      fast_gelu=args.fast_gelu)
+    from dehaze_tpu.models import get_arch
+
+    model = get_arch(cfg)
     key = jax.random.PRNGKey(0)
     probe = jnp.zeros((1, 128, 128, 3), jnp.float32)
     variables = jax.jit(
@@ -78,7 +83,11 @@ def main():
             dt = timeit(fn, xb)
             results.append({"mode": "fwd_patch_b32", "sec": round(dt, 4),
                             "img_s": round(32 / dt, 2), "pallas": args.pallas})
-        if "train" in modes:
+        if "train" in modes and args.arch != "uformer":
+            print(json.dumps({"mode": "train", "skipped":
+                              f"train bench is uformer-only (use "
+                              f"cli.ffa_train for the FFA recipe)"}))
+        elif "train" in modes:
             from dehaze_tpu.train.trainer import Trainer
 
             tcfg = replace(Config(), model=cfg, loss=LossConfig(w_contrast=0.0))
