@@ -34,6 +34,12 @@ def trajectory_point(w_t, w_init, w_best) -> Tuple[float, float]:
         rs.append(na / nb)
         cos = float(jnp.dot(a, b)) / (na * nb)
         thetas.append(math.acos(min(1.0, max(-1.0, cos))))
+    if not rs:
+        # w_t == w_best exactly (e.g. the best IS the final epoch): the
+        # converged point, r = 0 at an arbitrary angle — plot it at the
+        # origin instead of propagating mean-of-empty NaNs (the reference
+        # script hits 0/0 here and silently drops the point).
+        return 0.0, 0.0
     return float(np.mean(thetas)), float(np.mean(rs))
 
 
