@@ -45,6 +45,12 @@ def main():
     p.add_argument("--embed_dim", type=int, default=32)
     p.add_argument("--profile", default=None)
     p.add_argument("--whole_hw", default="1200x1600")
+    p.add_argument("--train_batches", default="32",
+                   help="comma list of per-step batch sizes for the train "
+                        "mode (batch-scaling curve, e.g. 32,64,128)")
+    p.add_argument("--accum_steps", type=int, default=1,
+                   help="gradient-accumulation microbatches per step in the "
+                        "train mode")
     args = p.parse_args()
     modes = args.modes.split(",")
 
@@ -92,27 +98,33 @@ def main():
 
             tcfg = replace(Config(), model=cfg, loss=LossConfig(w_contrast=0.0))
             trainer = Trainer(tcfg, steps_per_epoch=100)
-            clean = np.random.default_rng(0).uniform(
-                size=(32, 128, 128, 3)).astype(np.float32)
-            hazy = np.clip(clean + 0.1, 0, 1).astype(np.float32)
-            state = trainer.init_state(jax.random.PRNGKey(1), clean[:1])
             rng = jax.random.PRNGKey(2)
+            for b in (int(s) for s in args.train_batches.split(",")):
+                clean = np.random.default_rng(0).uniform(
+                    size=(b, 128, 128, 3)).astype(np.float32)
+                hazy = np.clip(clean + 0.1, 0, 1).astype(np.float32)
+                state = trainer.init_state(jax.random.PRNGKey(1), clean[:1])
 
-            def step(s):
-                s, _ = trainer.train_step(s, clean, hazy, rng, use_mixup=True)
-                return s
+                def step(s):
+                    s, _ = trainer.train_step(s, clean, hazy, rng,
+                                              use_mixup=True,
+                                              accum_steps=args.accum_steps)
+                    return s
 
-            for _ in range(2):
-                state = step(state)
-            jax.block_until_ready(state.params)
-            t0 = time.perf_counter()
-            iters = 5
-            for _ in range(iters):
-                state = step(state)
-            jax.block_until_ready(state.params)
-            dt = (time.perf_counter() - t0) / iters
-            results.append({"mode": "train_step_b32", "sec": round(dt, 4),
-                            "img_s": round(32 / dt, 2), "pallas": args.pallas})
+                for _ in range(2):
+                    state = step(state)
+                jax.block_until_ready(state.params)
+                t0 = time.perf_counter()
+                iters = 5
+                for _ in range(iters):
+                    state = step(state)
+                jax.block_until_ready(state.params)
+                dt = (time.perf_counter() - t0) / iters
+                results.append({"mode": f"train_step_b{b}",
+                                "sec": round(dt, 4),
+                                "img_s": round(b / dt, 2),
+                                "accum_steps": args.accum_steps,
+                                "pallas": args.pallas})
 
     for r in results:
         r["device"] = str(jax.devices()[0])
@@ -126,7 +138,8 @@ def main():
 
             lines, _ = summarize(args.profile, steps=1)
             print("\n".join(lines))
-        except (ImportError, FileNotFoundError) as e:  # tf not present etc.
+        except Exception as e:  # tf not present, corrupt .xplane.pb, ...
+            # Benchmarks already printed; degrade rather than crash.
             print(f"[profile summary unavailable: {e}]")
 
 

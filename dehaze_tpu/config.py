@@ -63,7 +63,8 @@ class ModelConfig:
     use_pallas: bool = False
     # Use the fused Pallas LeFF kernel (LN+dense+gelu+dwconv+gelu+dense in
     # one VMEM pass) on the inference path when the geometry allows it
-    # (H, W multiples of 64). Training always uses the jnp LeFF.
+    # (row-band kernel: H % 8 == 0, any W). Training always uses the jnp
+    # LeFF.
     use_pallas_leff: bool = False
     # Multi-chip single-frame inference: name of the mesh axis that row-bands
     # of the canvas are sharded over (None = single-device spatial layout).
@@ -140,6 +141,11 @@ class TrainConfig:
     pretrain_weights: str = ""
     # Mesh: data-parallel axis size (None = all local devices).
     data_axis: Optional[int] = None
+    # Gradient accumulation: split each batch into this many microbatches,
+    # average grads, ONE optimizer update — effective batch (the bs-32
+    # recipe, `My_train.py:155`) unchanged; peak activation memory is one
+    # microbatch's. batch_size must divide evenly.
+    accum_steps: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

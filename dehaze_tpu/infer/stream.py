@@ -39,7 +39,8 @@ def stream_dehaze(
     """Dehaze a stream of frames with decode/compute/encode overlap.
 
     Returns {"frames": n, "mpix_s": sustained Mpix/s, "sec": wall}.
-    Decode runs `decode_workers` frames ahead; encode is fire-and-forget
+    Decode runs at most `decode_workers + 2` frames ahead (bounded host
+    memory even on huge folders); encode is fire-and-forget
     (joined before returning). `square=False` uses the rectangular wrap-pad
     canvas (identical crop semantics, −23% compute on 1200×1600; pass True
     for the reference's exact square protocol).
@@ -71,13 +72,24 @@ def stream_dehaze(
 
     total_pix = 0
     n = 0
+    lookahead = decode_workers + 2  # bounded: host RAM stays O(lookahead)
     with cf.ThreadPoolExecutor(decode_workers) as dec, \
             cf.ThreadPoolExecutor(encode_workers) as enc:
-        decoded = [dec.submit(load_fn, p) for p, _ in frames]
+        # Submit decodes lazily (at most `lookahead` outstanding) and drop
+        # each future once consumed, so decoded frames can be GC'd — a
+        # whole-folder submit would retain every f32 frame (~23 MB each).
+        from collections import deque
+        decoded: deque = deque(
+            dec.submit(load_fn, p) for p, _ in frames[:lookahead])
+        next_submit = lookahead
         pending: list = []  # (device_out, out_path) — keep device queue ≤ 2
         enc_futs = []
         t0 = time.perf_counter()
-        for (in_path, out_path), fut in zip(frames, decoded):
+        for in_path, out_path in frames:
+            fut = decoded.popleft()
+            if next_submit < len(frames):
+                decoded.append(dec.submit(load_fn, frames[next_submit][0]))
+                next_submit += 1
             img = fut.result()
             h, w = img.shape[:2]
             run = get_run(h, w)

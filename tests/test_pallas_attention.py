@@ -131,10 +131,12 @@ def _data_tokens(B, N, C, seed=0):
     return mk(), mk(), mk(), jnp.asarray(si)
 
 
+@pytest.mark.parametrize("version", [3, 4])
 @pytest.mark.parametrize("use_mask", [False, True])
-def test_fused_v3_value_and_grads_match_jnp(use_mask):
+def test_fused_value_and_grads_match_jnp(use_mask, version):
     """fused_window_attention (custom VJP, Dense-native layout): value AND
-    gradients (q, k, v, rel-pos bias) equal the jnp path."""
+    gradients (q, k, v, rel-pos bias) equal the jnp path — for both kept
+    kernel versions (3 = block-diag packing, 4 = batched dots, the default)."""
     from dehaze_tpu.ops.pallas.window_attention import fused_window_attention
 
     B, N, H, D = 6, 64, 2, 32
@@ -155,7 +157,8 @@ def test_fused_v3_value_and_grads_match_jnp(use_mask):
     def pal_path(q, k, v, bias):
         return fused_window_attention(
             q, k, v, num_heads=H, sample_idx=si, rel_pos_bias=bias,
-            sw_region=region, num_windows=nW, interpret=True, wtile=8)
+            sw_region=region, num_windows=nW, interpret=True, wtile=8,
+            version=version)
 
     out_ref = jnp_path(q, k, v, bias)
     out_pal = pal_path(q, k, v, bias)
