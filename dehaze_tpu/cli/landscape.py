@@ -30,15 +30,30 @@ def main():
     p.add_argument("--max_batches", type=int, default=0,
                    help="cap eval batches per point (0 = full train set, "
                         "matching the reference's 441 full-set evals)")
-    p.add_argument("--use_mixup", action="store_true", default=True,
+    p.add_argument("--use_mixup", action=argparse.BooleanOptionalAction,
+                   default=True,
                    help="the reference sweeps apply MixUp during the loss "
-                        "eval (My_losslandscape.py:193)")
+                        "eval (My_losslandscape.py:193); --no-use_mixup "
+                        "disables it for a transform-free sweep")
+    p.add_argument("--perloss", action="store_true",
+                   help="FFA only: add 0.04×VGG16-perceptual to the L1 "
+                        "landscape loss (FFA_.../ops/My_tests.py:86-89)")
     p.add_argument("--shard", default=None,
                    help="'i/n': process every n-th grid point with offset i "
                         "(points are independent; run n processes/hosts and "
-                        "merge the CSVs)")
+                        "merge with --merge)")
+    p.add_argument("--merge", default=None, metavar="GLOB",
+                   help="skip the sweep: union shard CSVs matching GLOB "
+                        "(e.g. 'landscape_*.csv') and plot them "
+                        "(≙ the reference crash-merge tool, text.py:18-40)")
     args = p.parse_args()
     cfg = config_from_args(args)
+
+    if args.merge:
+        rows = LS.merge_landscape_csvs(args.merge)
+        LS.plot_landscape(rows, args.out_plot)
+        print(f"merged {args.merge} -> {len(rows)} points -> {args.out_plot}")
+        return
 
     model = get_arch(cfg.model)
     key = jax.random.PRNGKey(0)
@@ -48,17 +63,21 @@ def main():
     )()
     _, params, _, _ = load_checkpoint(args.weights, variables["params"])
 
-    use_cr = cfg.loss.w_contrast > 0
-    vgg = vgg_mod.make_cr_vgg(dtype=cfg.model.dtype) if use_cr else None
+    is_ffa = cfg.model.arch == "ffa"
+
+    use_cr = cfg.loss.w_contrast > 0 and not is_ffa
+    vgg = None
     vgg_params = None
     if use_cr:
+        vgg = vgg_mod.make_cr_vgg(dtype=cfg.model.dtype)
+    elif is_ffa and args.perloss:
+        vgg = vgg_mod.make_perceptual_vgg(dtype=cfg.model.dtype)
+    if vgg is not None:
         if cfg.loss.vgg_weights:
             vgg_params = vgg_mod.load_params_npz(vgg, cfg.loss.vgg_weights)
         else:
-            vgg_mod.warn_random_vgg("landscape CR loss")
+            vgg_mod.warn_random_vgg("landscape loss")
             vgg_params = vgg_mod.init_vgg_params(vgg)
-
-    is_ffa = cfg.model.arch == "ffa"
 
     @jax.jit
     def batch_loss(p, clean, hazy, k):
@@ -68,9 +87,14 @@ def main():
                                rngs={"sample": k})
         restored = jnp.clip(restored, 0.0, 1.0)
         if is_ffa:
-            # FFA landscape loss: L1 (+ perceptual handled by FFA trainer
-            # config), matching `FFA_.../ops/My_tests.py:86-89`.
-            return jnp.mean(jnp.abs(restored - clean))
+            # FFA landscape loss: L1, plus 0.04×VGG16-perceptual under
+            # --perloss — matching `FFA_.../ops/My_tests.py:86-89`.
+            loss = jnp.mean(jnp.abs(restored - clean))
+            if args.perloss:
+                feats = lambda im: vgg.apply(vgg_params, im)
+                loss = loss + 0.04 * L.perceptual_loss_from_features(
+                    feats(restored), feats(clean))
+            return loss
         loss = cfg.loss.w_charbonnier * L.charbonnier_loss(
             restored, clean, cfg.loss.charbonnier_eps)
         if use_cr:

@@ -176,6 +176,25 @@ def load_landscape_csv(csv_path: str) -> List[Dict[str, float]]:
         ]
 
 
+def merge_landscape_csvs(pattern: str) -> List[Dict[str, float]]:
+    """Union shard CSVs (from `--shard i/n` sweeps) into one row list.
+
+    ≙ the reference's crash-merge tool (`text.py:18-40`), which unions the
+    partial CSVs a multi-process sweep leaves behind. Duplicate (x, y)
+    points (e.g. a re-run shard) keep the last occurrence.
+    """
+    import glob as _glob
+
+    paths = sorted(_glob.glob(pattern))
+    if not paths:
+        raise FileNotFoundError(f"no CSVs match {pattern!r}")
+    by_xy: Dict[tuple, Dict[str, float]] = {}
+    for p in paths:
+        for row in load_landscape_csv(p):
+            by_xy[(row["x"], row["y"])] = row
+    return list(by_xy.values())
+
+
 def plot_landscape(rows: Iterable[Dict[str, float]], out_path: str,
                    title: str = "loss landscape") -> None:
     """3-D surface plot (≙ `My_losslandscape.py:219-279`)."""

@@ -96,6 +96,73 @@ def test_average_meter():
     assert m.count == 5
 
 
+def test_shard_merge(tmp_path):
+    """--shard i/n sweeps write disjoint CSVs; merge_landscape_csvs unions
+    them into the full grid (≙ the reference crash-merge tool, text.py:18-40)."""
+    p = _params()
+
+    def loss_fn(params):
+        return float(sum(jnp.sum(jnp.square(x)) for x in jax.tree.leaves(params)))
+
+    for i in range(2):
+        LS.get_loss_landscape(
+            p, loss_fn, n=3, scale=0.5, seed=0,
+            csv_path=str(tmp_path / f"ls_{i}.csv"),
+            point_filter=lambda idx, _i=i: idx % 2 == _i)
+    merged = LS.merge_landscape_csvs(str(tmp_path / "ls_*.csv"))
+    assert len(merged) == 9
+    assert len({(r["x"], r["y"]) for r in merged}) == 9
+    # duplicates keep last occurrence; missing glob raises
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        LS.merge_landscape_csvs(str(tmp_path / "nope_*.csv"))
+
+
+def test_landscape_cli_ffa_perloss(tmp_path):
+    """Drive the landscape CLI end-to-end on a tiny FFA: --perloss adds the
+    0.04×VGG16-perceptual term (FFA_.../ops/My_tests.py:86-89) and
+    --no-use_mixup turns the MixUp transform off."""
+    import subprocess
+    import sys
+
+    import cv2
+
+    from dehaze_tpu.models import get_arch
+    from dehaze_tpu.config import ModelConfig
+    from dehaze_tpu.train.checkpoint import save_checkpoint
+
+    data = tmp_path / "train"
+    (data / "gt").mkdir(parents=True)
+    (data / "hazy").mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        for sub in ("gt", "hazy"):
+            img = (rng.random((16, 16, 3)) * 255).astype(np.uint8)
+            cv2.imwrite(str(data / sub / f"{i}.png"), img)
+
+    model = get_arch(ModelConfig(arch="ffa", ffa_gps=3, ffa_blocks=1,
+                                 dtype=jnp.float32))
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 16, 16, 3), jnp.float32))
+    ckpt = str(tmp_path / "w.msgpack")
+    save_checkpoint(ckpt, 0, variables["params"])
+
+    csv_path = str(tmp_path / "ls.csv")
+    cmd = [sys.executable, "-m", "dehaze_tpu.cli.landscape",
+           "--arch", "ffa", "--ffa_gps", "3", "--ffa_blocks", "1",
+           "--dtype", "float32", "--weights", ckpt,
+           "--train_dir", str(data), "--train_ps", "16", "--batch_size", "2",
+           "--n", "2", "--max_batches", "1", "--perloss", "--no-use_mixup",
+           "--out_csv", csv_path, "--out_plot", str(tmp_path / "ls.jpg")]
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=560,
+                       env={**os.environ, "JAX_PLATFORMS": "cpu",
+                            "PYTHONPATH": os.path.dirname(
+                                os.path.dirname(os.path.abspath(__file__)))})
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows = LS.load_landscape_csv(csv_path)
+    assert len(rows) == 4 and all(np.isfinite(r_["loss"]) for r_ in rows)
+
+
 def test_plot_landscape_writes_file(tmp_path):
     rows = [{"x": x, "y": y, "l1": 0, "l2": 0, "loss": x * x + y * y}
             for x in (-1, 0, 1) for y in (-1, 0, 1)]
