@@ -63,6 +63,10 @@ def add_common_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
     p.add_argument("--pretrain_weights", default="")
     p.add_argument("--data_axis", type=int, default=None,
                    help="data-parallel mesh size (default: single device)")
+    p.add_argument("--accum_steps", type=int, default=1,
+                   help="gradient accumulation: microbatches per optimizer "
+                        "update (effective batch = batch_size, unchanged; "
+                        "peak activation memory = one microbatch)")
     return p
 
 
@@ -90,6 +94,6 @@ def config_from_args(a: argparse.Namespace) -> Config:
             weight_decay=a.weight_decay, warmup=a.warmup,
             warmup_epochs=a.warmup_epochs, seed=a.seed, save_dir=a.save_dir,
             env=a.env, resume=a.resume, pretrain_weights=a.pretrain_weights,
-            data_axis=a.data_axis,
+            data_axis=a.data_axis, accum_steps=a.accum_steps,
         ),
     )

@@ -137,7 +137,8 @@ def fit(cfg: Config, log_dir: Optional[str] = None) -> Tuple[float, str]:
                 hazy = jax.device_put(hazy, bsh)
             rng, step_rng = jax.random.split(rng)
             state, metrics = trainer.train_step(
-                state, clean, hazy, step_rng, use_mixup=use_mixup
+                state, clean, hazy, step_rng, use_mixup=use_mixup,
+                accum_steps=t.accum_steps,
             )
             step_losses.append(metrics["loss"])
             if steady_t0 is None:

@@ -79,7 +79,8 @@ class Trainer:
                 self.vgg_params = vgg_mod.init_vgg_params(self.vgg, seed=0)
 
         self._train_step = jax.jit(
-            self._train_step_impl, static_argnames=("use_mixup",), donate_argnums=(0,)
+            self._train_step_impl,
+            static_argnames=("use_mixup", "accum_steps"), donate_argnums=(0,)
         )
         self._eval_step = jax.jit(self._eval_step_impl)
 
@@ -110,13 +111,16 @@ class Trainer:
         rng: jax.Array,
         *,
         use_mixup: bool,
+        accum_steps: int = 1,
     ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         cfg = self.cfg
         k_mix, k_sample, k_drop, k_dp = jax.random.split(rng, 4)
         if use_mixup:
+            # MixUp draws one shared λ over the FULL effective batch before
+            # any microbatch split — identical to the single-step recipe.
             clean, hazy = mixup(k_mix, clean, hazy, cfg.data.mixup_beta)
 
-        def loss_fn(params):
+        def loss_fn(params, clean, hazy, k_drop, k_dp):
             restored = self.model.apply(
                 {"params": params},
                 hazy,
@@ -142,7 +146,40 @@ class Trainer:
                 "all_ap": all_ap, "all_an": all_an,
             }
 
-        grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
+        if accum_steps == 1:
+            grads, metrics = jax.grad(loss_fn, has_aux=True)(
+                state.params, clean, hazy, k_drop, k_dp)
+        else:
+            # Gradient accumulation: scan over `accum_steps` microbatches,
+            # averaging grads, then ONE optimizer update — the effective
+            # batch (and the recipe, `My_train.py:155` bs 32) is unchanged
+            # while peak activation memory is that of one microbatch.
+            # `sample` is batch-shared ([N, u] key columns), so reusing
+            # k_sample per microbatch is exactly the full-batch behavior;
+            # dropout/droppath keys fold per microbatch (per-image masks).
+            b = clean.shape[0]
+            if b % accum_steps:
+                raise ValueError(f"batch {b} not divisible by accum_steps "
+                                 f"{accum_steps}")
+            mb = b // accum_steps
+            xs = (
+                clean.reshape(accum_steps, mb, *clean.shape[1:]),
+                hazy.reshape(accum_steps, mb, *hazy.shape[1:]),
+                jax.random.split(k_drop, accum_steps),
+                jax.random.split(k_dp, accum_steps),
+            )
+
+            def body(gacc, x):
+                cl, hz, kd, kp = x
+                g, m = jax.grad(loss_fn, has_aux=True)(state.params, cl, hz,
+                                                       kd, kp)
+                return jax.tree.map(jnp.add, gacc, g), m
+
+            zero_g = jax.tree.map(jnp.zeros_like, state.params)
+            gsum, ms = jax.lax.scan(body, zero_g, xs)
+            grads = jax.tree.map(lambda g: g / accum_steps, gsum)
+            metrics = jax.tree.map(lambda m: jnp.mean(m, axis=0), ms)
+
         updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         return (
@@ -150,9 +187,10 @@ class Trainer:
             metrics,
         )
 
-    def train_step(self, state, clean, hazy, rng, use_mixup: bool):
+    def train_step(self, state, clean, hazy, rng, use_mixup: bool,
+                   accum_steps: int = 1):
         return self._train_step(state, jnp.asarray(clean), jnp.asarray(hazy), rng,
-                                use_mixup=use_mixup)
+                                use_mixup=use_mixup, accum_steps=accum_steps)
 
     # ------------------------------------------------------------ eval step
     def _eval_step_impl(self, params, clean, hazy, rng):

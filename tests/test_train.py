@@ -57,6 +57,41 @@ def test_train_step_with_contrast_loss(batch):
     assert float(m["all_ap"]) > 0 and float(m["all_an"]) > 0
 
 
+def test_accum_equivalence(batch):
+    """accum_steps=2 over the SAME batch == the single full-batch step to fp
+    tolerance (VERDICT r2 #3): grads are microbatch-means averaged, one
+    optimizer update, MixUp λ drawn over the full batch before the split.
+    droppath=0 so per-image mask draws don't differ between the paths."""
+    clean, hazy = batch
+    cfg = replace(tiny_config(),
+                  model=ModelConfig(img_size=32, embed_dim=8,
+                                    dtype=jnp.float32, drop_path_rate=0.0))
+    rng = jax.random.PRNGKey(7)
+
+    def run(accum):
+        trainer = Trainer(cfg, steps_per_epoch=4)
+        state = trainer.init_state(jax.random.PRNGKey(1234), clean[:1])
+        state, m = trainer.train_step(state, clean, hazy, rng,
+                                      use_mixup=True, accum_steps=accum)
+        return state, m
+
+    s1, m1 = run(1)
+    s2, m2 = run(2)
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]),
+                               rtol=1e-5)
+    flat1 = jax.tree.leaves(s1.params)
+    flat2 = jax.tree.leaves(s2.params)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-6)
+    # non-divisible batch is refused
+    with pytest.raises(ValueError):
+        run_trainer = Trainer(cfg, steps_per_epoch=4)
+        st = run_trainer.init_state(jax.random.PRNGKey(0), clean[:1])
+        run_trainer.train_step(st, clean[:3], hazy[:3], rng,
+                               use_mixup=False, accum_steps=2)
+
+
 def test_mixup_convexity():
     key = jax.random.PRNGKey(3)
     rng = np.random.default_rng(1)
