@@ -66,3 +66,9 @@ import jax  # noqa: E402
 jax.config.update("jax_default_matmul_precision", "highest")
 
 import dehaze_tpu  # noqa: E402,F401  (persistent compilation cache)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-minute tests (full-geometry parity oracles); "
+        "deselect with -m 'not slow'")

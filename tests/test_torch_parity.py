@@ -154,6 +154,98 @@ def test_projection_variants_parity_vs_reference_torch(projection, se):
     np.testing.assert_allclose(yj, yt, rtol=2e-4, atol=2e-4)
 
 
+def _ref_wrap_pad(x: np.ndarray, L: int) -> np.ndarray:
+    """The reference's exact canvas fill (`test_long_GPU.py:79-91`): zeros,
+    frame top-left, right columns wrapped from the left, bottom rows copied
+    from the ALREADY-PADDED canvas (so the corner quirk is included)."""
+    B, H, W, C = x.shape
+    big = np.zeros((B, L, L, C), x.dtype)
+    L_H, L_W = L - H, L - W
+    big[:, :H, :W] = x
+    big[:, :H, W:W + L_W] = x[:, :, :L_W]
+    big[:, H:H + L_H, :] = big[:, :L_H, :]
+    return big
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("variant", ["wmsa", "probsparse"])
+def test_whole_image_geometry_parity(variant, monkeypatch):
+    """Full-geometry parity (VERDICT r2 #2): the published wrap-pad protocol
+    at a 384² canvas — 48×48 stage-0 window grid (>1 window row), shifted
+    SW seams, the bumped-canvas rule (W=256, an exact ps multiple, still
+    pads to 384, `test_long_GPU.py:84`), and the pre-padded-rows corner
+    quirk — against the reference's own torch models at embed_dim 8:
+    `My_model.py` (W-MSA) deterministic, `My_model_1.py` (ProbSparse
+    flagship) with pinned key sampling on both sides."""
+    import jax
+    import jax.numpy as jnp
+
+    from dehaze_tpu.config import ModelConfig
+    from dehaze_tpu.infer.tiled import make_whole_image_fn
+    from dehaze_tpu.models.uformer import Uformer
+    from dehaze_tpu.ops import probsparse as PS
+    from dehaze_tpu.utils.convert_torch import convert_uformer_state_dict
+
+    h, w, ps = 250, 256, 128
+    L = 384  # (max(h, w) // ps + 1) * ps — bump applies though w % ps == 0
+    rng = np.random.default_rng(11)
+    x = rng.uniform(size=(1, h, w, 3)).astype(np.float32)
+
+    from dehaze_tpu.cli.baseline_probe import _stub_modules
+
+    _stub_modules(REF)
+    torch.manual_seed(5)
+    if variant == "wmsa":
+        import My_model
+
+        m = My_model.Uformer(img_size=128, embed_dim=8, win_size=8,
+                             token_projection="linear", token_mlp="leff",
+                             drop_path_rate=0.0)
+        attention = "full"
+    else:
+        import My_model_1
+
+        m = My_model_1.Uformer(img_size=128, embed_dim=8, win_size=8,
+                               token_projection="linear", token_mlp="leff",
+                               drop_path_rate=0.0)
+        attention = "probsparse"
+        # pin the ProbSparse key sampling identically on both sides: every
+        # window has N = win² = 64 tokens at every stage, so one [64, u]
+        # table covers all blocks (`attn.py:91` torch.randint)
+        u = PS.probsparse_u(64)
+        fixed_idx = rng.integers(0, 64, size=(64, u))
+        monkeypatch.setattr(
+            torch, "randint",
+            lambda high, size, **kw: torch.from_numpy(
+                fixed_idx[:size[0], :size[1]].copy()))
+        monkeypatch.setattr(
+            PS, "sample_indices",
+            lambda key, l_q, l_k, u_part: jnp.asarray(
+                fixed_idx[:l_q, :u_part].astype(np.int32)))
+    m.eval()
+
+    with torch.no_grad():
+        canvas_t = torch.from_numpy(
+            _ref_wrap_pad(x, L).transpose(0, 3, 1, 2))
+        yt = m(canvas_t).numpy().transpose(0, 2, 3, 1)[:, :h, :w, :]
+    yt = np.clip(yt, 0.0, 1.0)  # `test_long_GPU.py:94`
+
+    params = convert_uformer_state_dict(m.state_dict(), attention=attention)
+    cfg = ModelConfig(img_size=128, embed_dim=8, attention=attention,
+                      dtype=jnp.float32, drop_path_rate=0.0)
+    model = Uformer(cfg)
+    key = jax.random.PRNGKey(0)
+
+    def apply_fn(img):
+        return model.apply({"params": params}, img, train=False,
+                           rngs={"sample": key})
+
+    run = make_whole_image_fn(apply_fn, h, w, ps=ps, square=True)
+    yj = np.asarray(run(jnp.asarray(x)))
+    assert yj.shape == yt.shape
+    np.testing.assert_allclose(yj, yt, rtol=2e-4, atol=2e-4)
+
+
 def test_converted_param_tree_matches_init_structure(ref_model):
     """Converted tree has exactly the structure/shapes Uformer initializes."""
     import jax
