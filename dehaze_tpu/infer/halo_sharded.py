@@ -96,4 +96,5 @@ def make_halo_sharded_frame_fn(
         img = jax.device_put(img, NamedSharding(mesh, P()))
         return run(img)
 
+    call.jitted = run  # expose for .lower() introspection (ICI volume audit)
     return call
