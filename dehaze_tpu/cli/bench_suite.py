@@ -51,12 +51,15 @@ def main():
     p.add_argument("--accum_steps", type=int, default=1,
                    help="gradient-accumulation microbatches per step in the "
                         "train mode")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize LeWin blocks in the train mode "
+                        "(per-chip b64/b128 fit in HBM)")
     args = p.parse_args()
     modes = args.modes.split(",")
 
     cfg = ModelConfig(arch=args.arch, img_size=128, embed_dim=args.embed_dim,
                       dtype=jnp.bfloat16, use_pallas=args.pallas,
-                      fast_gelu=args.fast_gelu)
+                      fast_gelu=args.fast_gelu, remat=args.remat)
     from dehaze_tpu.models import get_arch
 
     model = get_arch(cfg)

@@ -37,6 +37,9 @@ def add_common_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
                         "+10%% whole-image throughput on TPU")
     p.add_argument("--ffa_gps", type=int, default=3)
     p.add_argument("--ffa_blocks", type=int, default=19)
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize LeWin blocks in the backward pass "
+                        "(fit per-chip batch 64/128 at 128² in HBM)")
     # loss
     p.add_argument("--is_ab", action="store_true",
                    help="CR ablation: drop the negative term")
@@ -78,7 +81,7 @@ def config_from_args(a: argparse.Namespace) -> Config:
             win_size=a.win_size, token_projection=a.token_projection,
             token_mlp=a.token_mlp, se_layer=a.se_layer, attention=a.attention,
             use_rel_pos_bias=not a.no_rel_pos_bias, dtype=dtype,
-            fast_gelu=a.fast_gelu,
+            fast_gelu=a.fast_gelu, remat=a.remat,
             ffa_gps=a.ffa_gps, ffa_blocks=a.ffa_blocks,
         ),
         loss=LossConfig(

@@ -66,6 +66,11 @@ class ModelConfig:
     # (row-band kernel: H % 8 == 0, any W). Training always uses the jnp
     # LeFF.
     use_pallas_leff: bool = False
+    # Rematerialize (jax.checkpoint) each LeWin block in the backward pass:
+    # peak training HBM drops from O(depth) block activations to O(1) at the
+    # cost of one extra forward — enables per-chip batch 64/128 at 128²
+    # (b64 without remat needs 20.6 GB > the 15.75 GB v5e HBM).
+    remat: bool = False
     # Multi-chip single-frame inference: name of the mesh axis that row-bands
     # of the canvas are sharded over (None = single-device spatial layout).
     # Set by infer.halo_sharded inside shard_map; convs/rolls then exchange

@@ -387,13 +387,19 @@ class UformerStage(nn.Module):
     fast_gelu: bool = False
     band_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True,
                  pad_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        # remat: recompute each block's activations in the backward pass
+        # (jax.checkpoint); peak train HBM becomes O(1) blocks instead of
+        # O(total depth) — see ModelConfig.remat.
+        block_cls = (nn.remat(LeWinBlock, static_argnums=(2,))
+                     if self.remat else LeWinBlock)
         for i in range(self.depth):
             shift = 0 if (i % 2 == 0 or not self.use_shift) else self.win_size // 2
-            x = LeWinBlock(
+            x = block_cls(
                 dim=self.dim,
                 input_resolution=self.input_resolution,
                 num_heads=self.num_heads,
@@ -476,6 +482,7 @@ class Uformer(nn.Module):
                 fast_gelu=cfg.fast_gelu,
                 band_axis=cfg.band_axis,
                 dtype=cfg.dtype,
+                remat=cfg.remat,
                 name=name,
             )
 

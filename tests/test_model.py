@@ -127,3 +127,36 @@ def test_fast_gelu_close_to_exact():
                                            rngs={"sample": key})))
     np.testing.assert_allclose(outs[0], outs[1], atol=2e-3)
     assert np.abs(outs[0] - outs[1]).max() > 0  # flag actually changes math
+
+
+def test_remat_matches_plain():
+    """cfg.remat=True (jax.checkpoint per LeWin block) is numerically
+    identical to the plain model in forward AND gradients — it only changes
+    what the backward pass rematerializes (ModelConfig.remat)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dehaze_tpu.config import ModelConfig
+    from dehaze_tpu.models.uformer import Uformer
+
+    x = jnp.asarray(np.random.default_rng(0).uniform(
+        size=(2, 32, 32, 3)).astype(np.float32))
+    k = jax.random.PRNGKey(0)
+    outs, grads = {}, {}
+    for rm in (False, True):
+        cfg = ModelConfig(img_size=32, embed_dim=8, dtype=jnp.float32,
+                          remat=rm, drop_path_rate=0.0)
+        m = Uformer(cfg)
+        v = jax.jit(lambda m=m: m.init({"params": k, "sample": k}, x))()
+
+        def loss(p, m=m):
+            y = m.apply({"params": p}, x, train=True,
+                        rngs={"sample": k, "dropout": k, "droppath": k})
+            return jnp.mean(jnp.square(y - 0.5))
+
+        outs[rm] = np.asarray(m.apply(v, x, train=False, rngs={"sample": k}))
+        grads[rm] = jax.grad(loss)(v["params"])
+    np.testing.assert_allclose(outs[True], outs[False], rtol=1e-6, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(grads[False]), jax.tree.leaves(grads[True])):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6)

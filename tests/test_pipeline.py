@@ -146,3 +146,27 @@ def test_test_images_iterators(tiny_dataset, tmp_path):
     # DataLoaderTestSR layout: flat dir (subdir='')
     flat = list(test_images(str(tmp_path / "HAZY"), subdir=""))
     assert len(flat) == 2
+
+
+def test_synth_dataset(tmp_path):
+    """Synthetic haze generator: PairedFolder-compatible layout, deterministic
+    given seed, hazy follows the scattering model (hazy >= clean*t floor)."""
+    from dehaze_tpu.data.synth import make_scene, write_dataset
+
+    root = str(tmp_path / "ds")
+    write_dataset(root, n=3, size=32, seed=7)
+    f = PairedFolder(root)
+    assert len(f) == 3
+    img = load_img(f.clean_files[0])
+    assert img.shape == (32, 32, 3) and img.dtype == np.float32
+
+    rng1 = np.random.default_rng(5)
+    rng2 = np.random.default_rng(5)
+    c1, h1 = make_scene(rng1, 48)
+    c2, h2 = make_scene(rng2, 48)
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_array_equal(h1, h2)
+    assert c1.min() >= 0.0 and c1.max() <= 1.0
+    assert h1.min() >= 0.0 and h1.max() <= 1.0
+    # haze raises mean luminance toward airlight
+    assert h1.mean() > c1.mean() - 0.05
