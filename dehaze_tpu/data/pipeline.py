@@ -86,13 +86,23 @@ def train_batches(
 
     pairs = [(folder.clean_files[i], folder.noisy_files[i]) for i in order]
     with cf.ThreadPoolExecutor(max_workers=num_workers) as ex:
-        futs = [
-            ex.submit(_load_train_item, p, patch_size, int(s))
-            for p, s in zip(pairs, item_seeds)
-        ]
+        # Bounded decode lookahead (same fix as infer/stream.py): submit
+        # lazily and drop each Future once consumed, so host RAM holds
+        # O(lookahead) decoded crops instead of the whole epoch's.
+        from collections import deque
+
+        lookahead = num_workers + 2
+        args = [(p, patch_size, int(s)) for p, s in zip(pairs, item_seeds)]
+        futs: deque = deque(
+            ex.submit(_load_train_item, *a) for a in args[:lookahead])
+        next_submit = lookahead
         buf_c: List[np.ndarray] = []
         buf_n: List[np.ndarray] = []
-        for f in futs:
+        for _ in range(n):
+            f = futs.popleft()
+            if next_submit < n:
+                futs.append(ex.submit(_load_train_item, *args[next_submit]))
+                next_submit += 1
             c, x = f.result()
             buf_c.append(c)
             buf_n.append(x)

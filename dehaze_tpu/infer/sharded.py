@@ -43,6 +43,12 @@ def make_sharded_whole_image_fn(
         return jnp.clip(out[:, :h, :w, :], 0.0, 1.0)
 
     def call(img_host: np.ndarray):
+        n = mesh.shape[axis]
+        if img_host.shape[0] % n:
+            raise ValueError(
+                f"frame batch {img_host.shape[0]} is not a multiple of the "
+                f"'{axis}' mesh axis size {n}; pad the batch (wrap the last "
+                f"frame) or use infer.halo_sharded for single frames")
         img = jax.device_put(jnp.asarray(img_host), in_sh)
         return run(img)
 

@@ -148,3 +148,18 @@ def test_2d_mesh_replica_x_data_train_step():
                     jax.tree.leaves(s_multi.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
                                    atol=1e-6)
+
+
+def test_sharded_whole_image_batch_mismatch_raises():
+    """Frame batch not divisible by the mesh axis → clean ValueError (not an
+    XLA sharding error)."""
+    import numpy as np
+    import pytest
+
+    from dehaze_tpu.infer.sharded import make_sharded_whole_image_fn
+    from dehaze_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(4)
+    run = make_sharded_whole_image_fn(lambda x: x, mesh, 50, 50, ps=32)
+    with pytest.raises(ValueError, match="not a multiple"):
+        run(np.zeros((3, 50, 50, 3), np.float32))
