@@ -26,6 +26,13 @@ yardstick is derived, anchored by MEASUREMENT of the reference's own code
 The official denominator stays **5.6 Mpix/s** — ~2–5× ABOVE the
 measurement-anchored eager estimate, i.e. deliberately generous to the
 reference. vs_baseline ≥ 1.0 therefore means beating a best-case A40.
+
+Canvas fidelity (round 3): the default rect 1280×1664 canvas was measured
+against the square 1664² published protocol on a trained checkpoint over
+four 1200×1600 frames — ΔPSNR −0.004 dB mean (|Δ| ≤ 0.021 dB/frame),
+ΔSSIM +2e-5 (DESIGN.md "Rect-canvas output fidelity"). The headline
+config's output fidelity is quantified, not assumed; set BENCH_SQUARE=1
+for the exact square protocol (4.39 Mpix/s).
 """
 
 import json
