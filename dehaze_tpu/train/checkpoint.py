@@ -55,6 +55,60 @@ def load_start_epoch(path: str) -> int:
     return int(payload["epoch"])
 
 
+# ------------------------------------------------------------ async checkpoint
+class AsyncCheckpointer:
+    """Hide device→host checkpoint latency off the training critical path.
+
+    The endurance run (DESIGN.md round 3) measured 100+ s/epoch of stall in
+    the synchronous per-epoch save: `serialization.to_bytes` blocks on the
+    60 MB params+opt_state device→host fetch, which intermittently stalls on
+    slow interconnects (the axon relay here; PCIe contention on real pods).
+
+    save() therefore (1) makes a cheap DEVICE-side copy of every array
+    (`jnp.copy`, ~HBM-bandwidth — microseconds for 60 MB) so the snapshot
+    is immune to the next step's buffer donation (`Trainer._train_step`
+    donates the state), then (2) runs the fetch + serialize + atomic write
+    on a single background thread. One save is in flight at a time: a new
+    save first waits for the previous one (bounded memory, ordered files).
+
+    wait() drains the queue — call before reading files back or exiting.
+    Exceptions surface on the next save()/wait().
+    """
+
+    def __init__(self):
+        import concurrent.futures as cf
+
+        self._pool = cf.ThreadPoolExecutor(max_workers=1)
+        self._pending = None
+
+    @staticmethod
+    def _snapshot(tree: Any) -> Any:
+        import jax
+        import jax.numpy as jnp
+
+        return jax.tree.map(
+            lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x, tree)
+
+    def save(self, path: str, epoch: int, params: Any, opt_state: Any = None,
+             extra: Optional[Dict] = None) -> None:
+        self.wait()  # one in flight; surfaces prior errors
+        params_s = self._snapshot(params)
+        opt_s = self._snapshot(opt_state) if opt_state is not None else None
+        self._pending = self._pool.submit(
+            save_checkpoint, path, epoch, params_s, opt_s, extra)
+
+    def wait(self) -> None:
+        if self._pending is not None:
+            try:
+                self._pending.result()
+            finally:
+                self._pending = None
+
+    def close(self) -> None:
+        self.wait()
+        self._pool.shutdown(wait=True)
+
+
 # --------------------------------------------------------------- orbax backend
 # Directory-based Orbax checkpoints for multi-host / async workflows. The
 # msgpack files above stay the default (single-file, torch-checkpoint-shaped);

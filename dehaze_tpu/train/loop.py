@@ -18,7 +18,7 @@ import numpy as np
 from dehaze_tpu.config import Config
 from dehaze_tpu.data.pipeline import PairedFolder, prefetch_to_device, train_batches
 from dehaze_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
-from dehaze_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+from dehaze_tpu.train.checkpoint import AsyncCheckpointer, load_checkpoint
 from dehaze_tpu.train.schedule import make_epoch_lr, resume_cosine_lr
 from dehaze_tpu.train.trainer import Trainer
 from dehaze_tpu.utils.logging import RunLogger
@@ -113,6 +113,7 @@ def fit(cfg: Config, log_dir: Optional[str] = None) -> Tuple[float, str]:
 
     best_psnr, best_epoch, best_iter = 0.0, 0, 0
     eval_every = max(1, steps_per_epoch // t.evals_per_epoch)
+    ckpt_writer = AsyncCheckpointer()
 
     for epoch in range(start_epoch, t.nepoch + 1):
         t0 = time.time()
@@ -153,7 +154,7 @@ def fit(cfg: Config, log_dir: Optional[str] = None) -> Tuple[float, str]:
                                               n_valid=n_val)
                 if psnr > best_psnr:
                     best_psnr, best_epoch, best_iter = psnr, epoch, i
-                    save_checkpoint(
+                    ckpt_writer.save(
                         os.path.join(model_dir, "model_best.msgpack"),
                         epoch, state.params, state.opt_state,
                         extra={"psnr": psnr, "ssim": ssim},
@@ -177,9 +178,13 @@ def fit(cfg: Config, log_dir: Optional[str] = None) -> Tuple[float, str]:
         )
         logger.event("epoch", epoch=epoch, loss=epoch_loss,
                      seconds=time.time() - t0, img_per_s=img_per_s)
-        save_checkpoint(
+        # async: device-side snapshot now, fetch+write in the background —
+        # the relay/PCIe checkpoint stall leaves the epoch critical path
+        # (measured 100+ s/epoch during the round-3 endurance run).
+        ckpt_writer.save(
             os.path.join(model_dir, f"epoch_model_{epoch}.msgpack"),
             epoch, state.params, state.opt_state,
         )
 
+    ckpt_writer.close()
     return best_psnr, os.path.join(model_dir, "model_best.msgpack")

@@ -154,3 +154,37 @@ def test_orbax_checkpoint_roundtrip(tmp_path, batch):
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert opt_state is not None
+
+
+def test_async_checkpointer_donation_safe(tmp_path, batch):
+    """AsyncCheckpointer snapshots on device BEFORE the next step donates the
+    state buffers: save → immediately train (donating the old state) → wait →
+    the file holds the PRE-step params exactly."""
+    from dehaze_tpu.train.checkpoint import AsyncCheckpointer, load_checkpoint
+
+    clean, hazy = batch
+    trainer = Trainer(tiny_config(), steps_per_epoch=4)
+    state = trainer.init_state(jax.random.PRNGKey(0), clean[:1])
+    pre = jax.tree.map(lambda x: np.asarray(x).copy(), state.params)
+
+    w = AsyncCheckpointer()
+    path = str(tmp_path / "async.msgpack")
+    w.save(path, 3, state.params, state.opt_state, extra={"k": 1.0})
+    # donate the old state buffers while the background fetch runs; several
+    # steps so the warmup schedule passes its epoch-1 lr=0 quirk and the
+    # params genuinely move
+    for s in range(6):
+        state, _ = trainer.train_step(state, clean, hazy,
+                                      jax.random.PRNGKey(s), use_mixup=False)
+    w.close()
+
+    epoch, params, opt_state, extra = load_checkpoint(
+        path, state.params, state.opt_state)
+    assert epoch == 3 and extra == {"k": 1.0} and opt_state is not None
+    for a, b in zip(jax.tree.leaves(pre), jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(b), a)
+    # post-step params differ from the snapshot (the step really updated)
+    diffs = [float(np.abs(np.asarray(b) - np.asarray(a)).max())
+             for a, b in zip(jax.tree.leaves(params),
+                             jax.tree.leaves(state.params))]
+    assert max(diffs) > 0
