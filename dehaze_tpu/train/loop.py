@@ -13,6 +13,7 @@ import time
 from typing import Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from dehaze_tpu.config import Config
@@ -113,7 +114,21 @@ def fit(cfg: Config, log_dir: Optional[str] = None) -> Tuple[float, str]:
 
     best_psnr, best_epoch, best_iter = 0.0, 0, 0
     eval_every = max(1, steps_per_epoch // t.evals_per_epoch)
-    ckpt_writer = AsyncCheckpointer()
+    # DEHAZE_TPU_SYNC_CKPT=1 falls back to blocking saves (A/B measurement,
+    # or hosts where a concurrent device->host fetch hurts step dispatch).
+    if os.environ.get("DEHAZE_TPU_SYNC_CKPT"):
+        from dehaze_tpu.train.checkpoint import save_checkpoint
+
+        class _SyncWriter:
+            def save(self, *a, **kw):
+                save_checkpoint(*a, **kw)
+
+            def close(self):
+                pass
+
+        ckpt_writer = _SyncWriter()
+    else:
+        ckpt_writer = AsyncCheckpointer()
 
     for epoch in range(start_epoch, t.nepoch + 1):
         t0 = time.time()
@@ -167,9 +182,12 @@ def fit(cfg: Config, log_dir: Optional[str] = None) -> Tuple[float, str]:
                 logger.event("eval", epoch=epoch, iter=i, psnr=psnr, ssim=ssim)
                 eval_seconds += time.time() - te
 
-        # One sync at epoch end drains the async step queue, then the
-        # accumulated device scalars are fetched in a single transfer.
-        epoch_loss = float(np.sum(jax.device_get(step_losses))) if step_losses else 0.0
+        # One sync at epoch end drains the async step queue. Stack the
+        # per-step device scalars into ONE array first: device_get on a
+        # list issues one transfer per element — 64 round-trips per epoch,
+        # minutes when interconnect latency spikes (round-3 measurement).
+        epoch_loss = (float(jax.device_get(jnp.stack(step_losses)).sum())
+                      if step_losses else 0.0)
         steady_s = max(time.time() - (steady_t0 or t0) - eval_seconds, 1e-9)
         img_per_s = steady_images / steady_s if steady_images else 0.0
         logger.text(
