@@ -14,7 +14,7 @@ import jax
 import numpy as np
 
 from dehaze_tpu.data.pipeline import PairedFolder, prefetch_to_device, train_batches
-from dehaze_tpu.train.checkpoint import save_checkpoint
+from dehaze_tpu.train.checkpoint import AsyncCheckpointer
 from dehaze_tpu.train.ffa_trainer import FFATrainer
 from dehaze_tpu.train.loop import _val_batches
 
@@ -58,15 +58,23 @@ def main():
     os.makedirs(a.model_dir, exist_ok=True)
     history = {"losses": [], "psnrs": [], "ssims": [], "max_psnr": 0.0,
                "max_ssim": 0.0}
+    ckpt_writer = AsyncCheckpointer()
+    loss_futs = []  # async device scalars; fetched with one step of lag
     it = prefetch_to_device(infinite_batches())
     for step, (clean, hazy) in enumerate(it, start=1):
         if step > a.steps:
             break
         state, loss = trainer.train_step(state, clean, hazy)
-        history["losses"].append(float(loss))
-        print(f"\rtrain loss: {float(loss):.5f} | step {step}/{a.steps}",
-              end="", flush=True)
+        loss_futs.append(loss)
+        # print the PREVIOUS step's loss: it is already computed, so the
+        # fetch doesn't stall the pipeline (a same-step float() costs the
+        # whole async dispatch depth — the round-2 per-step-sync lesson)
+        if len(loss_futs) >= 2:
+            print(f"\rtrain loss: {float(loss_futs[-2]):.5f} "
+                  f"| step {step}/{a.steps}", end="", flush=True)
         if step % a.eval_step == 0:
+            history["losses"].extend(float(x) for x in loss_futs)
+            loss_futs = []
             psnr, ssim = trainer.evaluate(state.params, iter(val),
                                           n_valid=n_val)
             history["psnrs"].append(psnr)
@@ -74,7 +82,7 @@ def main():
             print(f"\nstep {step}: PSNR {psnr:.4f} SSIM {ssim:.4f}")
             if psnr > history["max_psnr"]:
                 history["max_psnr"], history["max_ssim"] = psnr, ssim
-                save_checkpoint(
+                ckpt_writer.save(
                     os.path.join(a.model_dir, "ffa_best.msgpack"),
                     step, state.params, state.opt_state,
                     extra={k: v for k, v in history.items()
@@ -82,6 +90,8 @@ def main():
             with open(os.path.join(a.model_dir, "ffa_history.json"), "w") as f:
                 json.dump(history, f)
 
+    history["losses"].extend(float(x) for x in loss_futs)
+    ckpt_writer.close()
     print(f"\nbest PSNR {history['max_psnr']:.4f} SSIM {history['max_ssim']:.4f}")
 
 
