@@ -137,6 +137,7 @@ class LeFF(nn.Module):
     hidden_dim: int
     out_dim: int
     fast_gelu: bool = False
+    fence: bool = False
     band_axis: Optional[str] = None
     dtype: Dtype = jnp.float32
 
@@ -148,6 +149,22 @@ class LeFF(nn.Module):
         x = DepthwiseConv3x3(self.hidden_dim, band_axis=self.band_axis,
                              dtype=self.dtype, name="dwconv")(x)
         x = nn.gelu(x, approximate=self.fast_gelu)
+        import os as _os
+
+        if self.fence or _os.environ.get("DEHAZE_TPU_LEFF_FENCE"):
+            # MEASURED NEGATIVE (round 3): barrier + flat [T, C] operand on
+            # linear2 (the LN-fence mechanism applied to the batch-in-lanes
+            # emitters) benched 5.42 vs 5.68 Mpix/s — materializing the GELU
+            # output costs more than the emitter saves. Kept flag-gated as a
+            # ledgered experiment (DESIGN.md); math-identity (tested).
+            import jax
+
+            x = jax.lax.optimization_barrier(x)
+            b, h, w, c = x.shape
+            y = nn.Dense(self.out_dim, kernel_init=trunc_init,
+                         dtype=self.dtype, name="linear2")(
+                x.reshape(b * h * w, c))
+            return y.reshape(b, h, w, self.out_dim)
         return nn.Dense(self.out_dim, kernel_init=trunc_init, dtype=self.dtype,
                         name="linear2")(x)
 
