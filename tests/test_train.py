@@ -188,3 +188,41 @@ def test_async_checkpointer_donation_safe(tmp_path, batch):
              for a, b in zip(jax.tree.leaves(params),
                              jax.tree.leaves(state.params))]
     assert max(diffs) > 0
+
+
+def test_ffa_train_cli_end_to_end(tmp_path):
+    """Drive cli.ffa_train on a tiny config: async best-checkpoint save and
+    lag-1 loss printing produce the same artifacts the reference trainer
+    writes (best ckpt + metric-history sidecar, FFA_model/main.py:122-143)."""
+    import json
+    import subprocess
+    import sys
+
+    import cv2
+
+    data = tmp_path / "ds"
+    for sub in ("gt", "hazy"):
+        (data / sub).mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        for sub in ("gt", "hazy"):
+            img = (rng.random((24, 24, 3)) * 255).astype(np.uint8)
+            cv2.imwrite(str(data / sub / f"{i}.png"), img)
+
+    mdir = str(tmp_path / "w")
+    cmd = [sys.executable, "-m", "dehaze_tpu.cli.ffa_train",
+           "--train_dir", str(data), "--val_dir", str(data),
+           "--steps", "4", "--eval_step", "2", "--bs", "2",
+           "--crop_size", "16", "--blocks", "1", "--gps", "3",
+           "--model_dir", mdir]
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=560,
+                       env={**os.environ, "JAX_PLATFORMS": "cpu",
+                            "PYTHONPATH": os.path.dirname(
+                                os.path.dirname(os.path.abspath(__file__)))})
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(os.path.join(mdir, "ffa_best.msgpack"))
+    with open(os.path.join(mdir, "ffa_history.json")) as f:
+        hist = json.load(f)
+    assert len(hist["psnrs"]) == 2 and hist["max_psnr"] > 0
+    # all 4 step losses collected despite the lag-1 async printing
+    assert len(hist["losses"]) >= 4
