@@ -48,7 +48,21 @@ def main():
     variables = jax.jit(
         lambda: model.init({"params": key, "sample": key}, probe)
     )()
-    _, params, _, _ = load_checkpoint(args.weights, variables["params"])
+    if args.weights.endswith((".pth", ".pt", ".pk")):
+        # Direct ingest of a reference torch checkpoint (needs torch).
+        from dehaze_tpu.utils import convert_torch as CT
+
+        if cfg.model.arch == "ffa":
+            params = CT.load_reference_ffa_checkpoint(
+                args.weights, blocks=cfg.model.ffa_blocks)
+        else:
+            params = CT.load_reference_checkpoint(
+                args.weights, attention=cfg.model.attention,
+                token_projection=cfg.model.token_projection,
+                se_layer=cfg.model.se_layer)
+        params = jax.tree.map(jnp.asarray, params)
+    else:
+        _, params, _, _ = load_checkpoint(args.weights, variables["params"])
     variables = {"params": params}
 
     def apply_fn(x):

@@ -1,4 +1,4 @@
-"""Convert reference PyTorch Uformer checkpoints to dehaze_tpu params.
+"""Convert reference PyTorch Uformer / FFA-Net checkpoints to dehaze_tpu params.
 
 Maps the state_dict of the reference models
 (`Uformer_ProbSparse/My_model_1.py` ProbSparse variant and `My_model.py`
@@ -162,3 +162,60 @@ def load_reference_checkpoint(path: str, **kw) -> Dict[str, Any]:
     payload = torch.load(path, map_location="cpu", weights_only=False)
     sd = payload.get("state_dict", payload)
     return convert_uformer_state_dict(sd, **kw)
+
+
+def _pa_ca(sd, prefix: str, seq: str) -> Dict[str, Any]:
+    """PALayer/CALayer 1x1-conv stack (FFA.py:9-38): `.{seq}.0` / `.{seq}.2`."""
+    return {
+        "conv1": _conv(sd, f"{prefix}.{seq}.0"),
+        "conv2": _conv(sd, f"{prefix}.{seq}.2"),
+    }
+
+
+def convert_ffa_state_dict(
+    state_dict: Mapping[str, Any], *, blocks: int = 19, gps: int = 3
+) -> Dict[str, Any]:
+    """torch FFA-Net state_dict → dehaze_tpu FFA params.
+
+    Mirrors `FFA_how-do-vits-work-transformer/FFA_model/models/FFA.py:73-110`:
+    pre conv, 3 Groups of `blocks` Blocks + tail conv, fusion CA over the
+    concatenated group outputs (`ca.1`/`ca.3`), final PALayer, two post convs.
+    DataParallel `module.` prefixes tolerated (test.py:44-46).
+    """
+    assert gps == 3, "reference asserts gps == 3 (FFA.py:80)"
+    sd = {}
+    for k, v in state_dict.items():
+        if k.startswith("module."):
+            k = k[len("module.") :]
+        sd[k] = v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+
+    params: Dict[str, Any] = {
+        "pre": _conv(sd, "pre.0"),
+        "ca_conv1": _conv(sd, "ca.1"),
+        "ca_conv2": _conv(sd, "ca.3"),
+        "palayer": _pa_ca(sd, "palayer", "pa"),
+        "post1": _conv(sd, "post.0"),
+        "post2": _conv(sd, "post.1"),
+    }
+    for g in range(1, gps + 1):
+        grp: Dict[str, Any] = {}
+        for i in range(blocks):
+            p = f"g{g}.gp.{i}"
+            grp[f"block_{i}"] = {
+                "conv1": _conv(sd, f"{p}.conv1"),
+                "conv2": _conv(sd, f"{p}.conv2"),
+                "calayer": _pa_ca(sd, f"{p}.calayer", "ca"),
+                "palayer": _pa_ca(sd, f"{p}.palayer", "pa"),
+            }
+        grp["conv"] = _conv(sd, f"g{g}.gp.{blocks}")
+        params[f"g{g}"] = grp
+    return params
+
+
+def load_reference_ffa_checkpoint(path: str, **kw) -> Dict[str, Any]:
+    """Load a reference FFA .pth `{'model': ...}` file (main.py:122-142)."""
+    import torch
+
+    payload = torch.load(path, map_location="cpu", weights_only=False)
+    sd = payload.get("model", payload)
+    return convert_ffa_state_dict(sd, **kw)

@@ -321,3 +321,53 @@ def test_probsparse_converter_numerical_parity(ref_model):
         rel_pos_bias=jnp.asarray(bias), layout="bnhd")
     yj = np.asarray(out.reshape(B_, N, C) @ wo["kernel"] + wo["bias"])
     np.testing.assert_allclose(yj, yt, rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# FFA-Net: full-model parity vs the reference torch FFA
+# ---------------------------------------------------------------------------
+
+FFA_REF = ("/root/reference/FFA_how-do-vits-work-transformer/"
+           "FFA_model/models/FFA.py")
+
+
+@pytest.mark.skipif(not os.path.isfile(FFA_REF),
+                    reason="reference FFA model not mounted")
+def test_ffa_full_model_parity_vs_reference_torch():
+    """Reference `FFA.py:73-110` forward (gps=3, blocks=2) as oracle; weights
+    converted with `convert_ffa_state_dict`; asserts ≤2e-4 agreement.
+
+    Exercises: pre conv, Block conv-relu(+x)-conv → CA → PA → +x, Group tail
+    conv + residual, the 3-way fusion `w.view(-1, gps, dim)` channel-major
+    reshape (FFA.py:105-107), final PALayer, post convs, global residual.
+    """
+    import importlib.util
+
+    import jax
+    import jax.numpy as jnp
+
+    from dehaze_tpu.models.ffa import FFA
+    from dehaze_tpu.utils.convert_torch import convert_ffa_state_dict
+
+    spec = importlib.util.spec_from_file_location("ref_ffa_model", FFA_REF)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    torch.manual_seed(0)
+    ref = mod.FFA(gps=3, blocks=2)
+    ref.eval()
+
+    rng = np.random.default_rng(1)
+    x = rng.uniform(size=(2, 24, 24, 3)).astype(np.float32)
+    with torch.no_grad():
+        yt = (ref(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+              .numpy().transpose(0, 2, 3, 1))
+
+    params = convert_ffa_state_dict(ref.state_dict(), blocks=2)
+    model = FFA(blocks=2)
+    yj = np.asarray(
+        jax.jit(lambda p, v: model.apply({"params": p}, v))(
+            params, jnp.asarray(x))
+    )
+    assert yj.shape == yt.shape
+    np.testing.assert_allclose(yj, yt, rtol=2e-4, atol=2e-4)
