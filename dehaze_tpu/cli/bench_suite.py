@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dehaze_tpu.config import Config, LossConfig, ModelConfig, replace
-from dehaze_tpu.infer.tiled import make_whole_image_fn
+from dehaze_tpu.infer.tiled import make_native_image_fn, make_whole_image_fn
 from dehaze_tpu.models.uformer import Uformer
 
 
@@ -78,13 +78,20 @@ def main():
     with prof:
         if "fwd_whole" in modes:
             h, w = (int(s) for s in args.whole_hw.split("x"))
-            run = make_whole_image_fn(apply_fn, h, w, 128)
+            if args.arch == "ffa":
+                # FFA protocol is a raw-resolution forward, no canvas
+                # (FFA_model/test.py:49-60)
+                run = make_native_image_fn(apply_fn)
+                canvas = "native"
+            else:
+                run = make_whole_image_fn(apply_fn, h, w, 128)
+                canvas = "square"
             img = jnp.asarray(np.random.default_rng(0).uniform(
                 size=(1, h, w, 3)).astype(np.float32))
             dt = timeit(run, img)
             results.append({"mode": "fwd_whole", "sec": round(dt, 4),
                             "mpix_s": round(h * w / 1e6 / dt, 3),
-                            "pallas": args.pallas})
+                            "canvas": canvas, "pallas": args.pallas})
         if "fwd_patch" in modes:
             xb = jnp.asarray(np.random.default_rng(0).uniform(
                 size=(32, 128, 128, 3)).astype(np.float32))

@@ -15,7 +15,7 @@ import numpy as np
 from dehaze_tpu.cli.common import add_common_args, config_from_args
 from dehaze_tpu.data.images import save_img
 from dehaze_tpu.data.pipeline import PairedFolder, val_images
-from dehaze_tpu.infer.tiled import make_whole_image_fn
+from dehaze_tpu.infer.tiled import make_native_image_fn, make_whole_image_fn
 from dehaze_tpu.models import get_arch
 from dehaze_tpu.ops import metrics as M
 from dehaze_tpu.train.checkpoint import load_checkpoint
@@ -35,6 +35,12 @@ def main():
     p.add_argument("--ssim_data_range", type=float, default=2.0,
                    help="2.0 replicates skimage's float default used for the "
                         "published numbers; 1.0 is physically correct")
+    p.add_argument("--ffa_normalize", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="--arch ffa only: normalize the hazy input with the "
+                        "FFA mean/std (reference test.py:52-55 and the FFA "
+                        "trainer default); --no-ffa_normalize for nets "
+                        "trained with ffa_train --no_normalize")
     args = p.parse_args()
     cfg = config_from_args(args)
 
@@ -65,7 +71,14 @@ def main():
         _, params, _, _ = load_checkpoint(args.weights, variables["params"])
     variables = {"params": params}
 
+    is_ffa = cfg.model.arch == "ffa"
+
     def apply_fn(x):
+        if is_ffa and args.ffa_normalize:
+            # reference FFA test.py:52-55 Normalize(mean, std) on hazy only
+            from dehaze_tpu.train.ffa_trainer import normalize_hazy
+
+            x = normalize_hazy(x)
         return model.apply(variables, x, train=False, rngs={"sample": key})
 
     run = None
@@ -74,8 +87,13 @@ def main():
     for clean, hazy, name in val_images(folder):
         h, w = hazy.shape[:2]
         if geom != (h, w):
-            run = make_whole_image_fn(apply_fn, h, w, args.train_ps,
-                                      square=not args.rect_canvas)
+            if is_ffa:
+                # FFA protocol: raw-resolution forward, no canvas
+                # (FFA_model/test.py:49-60; fully convolutional)
+                run = make_native_image_fn(apply_fn)
+            else:
+                run = make_whole_image_fn(apply_fn, h, w, args.train_ps,
+                                          square=not args.rect_canvas)
             geom = (h, w)
         out = np.asarray(run(jnp.asarray(hazy)[None])[0])
         psnr = float(M.psnr(jnp.asarray(out), jnp.asarray(clean)))

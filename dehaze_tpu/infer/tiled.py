@@ -89,6 +89,23 @@ def make_whole_image_fn(
     return run
 
 
+def make_native_image_fn(
+    apply_fn: Callable[[jnp.ndarray], jnp.ndarray],
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Raw-resolution forward with no canvas: [B, H, W, C] → clipped output.
+
+    The FFA-Net eval protocol (`FFA_model/test.py:49-60`) feeds the full
+    image straight through the fully-convolutional net — no padding, no
+    crop. Retraces per geometry (jit cache keyed on shape).
+    """
+
+    @jax.jit
+    def run(img):
+        return jnp.clip(apply_fn(img), 0.0, 1.0)
+
+    return run
+
+
 def dehaze_whole_image(
     apply_fn: Callable[[jnp.ndarray], jnp.ndarray],
     img: np.ndarray,

@@ -371,3 +371,63 @@ def test_ffa_full_model_parity_vs_reference_torch():
     )
     assert yj.shape == yt.shape
     np.testing.assert_allclose(yj, yt, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.skipif(not os.path.isfile(FFA_REF),
+                    reason="reference FFA model not mounted")
+def test_test_long_ffa_pth_end_to_end(tmp_path):
+    """Drive `cli.test_long --arch ffa` on a reference-format .pth and check
+    the saved outputs against the torch oracle (normalize → forward → clip,
+    `FFA_model/test.py:49-60`) to PNG quantization tolerance.
+
+    Covers in one pass: convert_ffa_state_dict (DataParallel prefixes,
+    {'model': ...} wrapper), the hazy-only normalization wiring, and the
+    native-resolution (no canvas) FFA eval protocol.
+    """
+    import importlib.util
+    import subprocess
+    import cv2
+
+    from dehaze_tpu.data.images import load_img
+
+    spec = importlib.util.spec_from_file_location("ref_ffa_model", FFA_REF)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    torch.manual_seed(1)
+    ref = mod.FFA(gps=3, blocks=1)
+    ref.eval()
+
+    data = tmp_path / "test"
+    (data / "gt").mkdir(parents=True)
+    (data / "hazy").mkdir()
+    rng = np.random.default_rng(3)
+    for i in range(2):
+        for sub in ("gt", "hazy"):
+            img = (rng.random((24, 24, 3)) * 255).astype(np.uint8)
+            cv2.imwrite(str(data / sub / f"{i}.png"), img)
+
+    sd = {"module." + k: v for k, v in ref.state_dict().items()}
+    pth = str(tmp_path / "ffa.pth")
+    torch.save({"model": sd, "step": 1}, pth)
+
+    out_dir = tmp_path / "res"
+    cmd = [sys.executable, "-m", "dehaze_tpu.cli.test_long",
+           "--arch", "ffa", "--ffa_blocks", "1", "--dtype", "float32",
+           "--input_dir", str(data), "--weights", pth,
+           "--result_dir", str(out_dir)]
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=560,
+                       env={**os.environ, "JAX_PLATFORMS": "cpu",
+                            "PYTHONPATH": os.path.dirname(os.path.dirname(
+                                os.path.abspath(__file__)))})
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "PSNR" in r.stdout
+
+    mean = torch.tensor([0.64, 0.60, 0.58]).view(1, 3, 1, 1)
+    std = torch.tensor([0.14, 0.15, 0.152]).view(1, 3, 1, 1)
+    for i in range(2):
+        hazy = load_img(str(data / "hazy" / f"{i}.png"))  # RGB [0,1] f32
+        xt = torch.from_numpy(hazy.transpose(2, 0, 1))[None]
+        with torch.no_grad():
+            yt = ref((xt - mean) / std).clamp(0, 1).numpy()[0]
+        got = load_img(str(out_dir / f"{i}.png"))
+        np.testing.assert_allclose(got, yt.transpose(1, 2, 0), atol=2 / 255)
