@@ -43,7 +43,14 @@ def main():
     _, params, _, _ = load_checkpoint(args.weights, variables["params"])
     variables = {"params": params}
 
+    is_ffa = cfg.model.arch == "ffa"
+
     def apply_fn(x):
+        if is_ffa:
+            # FFA protocol: hazy-only normalization (FFA test.py:52-55)
+            from dehaze_tpu.train.ffa_trainer import normalize_hazy
+
+            x = normalize_hazy(x)
         return model.apply(variables, x, train=False, rngs={"sample": key})
 
     src = args.input_dir
@@ -61,10 +68,10 @@ def main():
               for n in names]
 
     stats = stream_dehaze(apply_fn, frames, ps=args.train_ps,
-                          square=args.square)
+                          square=args.square, native=is_ffa)
+    canvas = "native" if is_ffa else ("square" if args.square else "rect")
     print(f"{stats['frames']} frames in {stats['sec']:.2f}s = "
-          f"{stats['mpix_s']:.3f} Mpix/s sustained "
-          f"({'square' if args.square else 'rect'} canvas)")
+          f"{stats['mpix_s']:.3f} Mpix/s sustained ({canvas} canvas)")
 
 
 if __name__ == "__main__":

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dehaze_tpu.infer.tiled import make_whole_image_fn
+from dehaze_tpu.infer.tiled import make_native_image_fn, make_whole_image_fn
 
 
 def stream_dehaze(
@@ -31,6 +31,7 @@ def stream_dehaze(
     frames: Iterable[Tuple[str, str]],  # (input_path, output_path)
     ps: int = 128,
     square: bool = False,
+    native: bool = False,
     decode_workers: int = 2,
     encode_workers: int = 2,
     load_fn: Optional[Callable[[str], np.ndarray]] = None,
@@ -43,7 +44,9 @@ def stream_dehaze(
     memory even on huge folders); encode is fire-and-forget
     (joined before returning). `square=False` uses the rectangular wrap-pad
     canvas (identical crop semantics, −23% compute on 1200×1600; pass True
-    for the reference's exact square protocol).
+    for the reference's exact square protocol). `native=True` skips the
+    canvas entirely — the FFA protocol (fully-convolutional nets only,
+    `FFA_model/test.py:49-60`).
     """
     if load_fn is None:
         from dehaze_tpu.data.images import load_img as load_fn
@@ -58,7 +61,10 @@ def stream_dehaze(
 
     def get_run(h: int, w: int):
         if (h, w) not in runs:
-            base = make_whole_image_fn(apply_fn, h, w, ps, square=square)
+            if native:
+                base = make_native_image_fn(apply_fn)
+            else:
+                base = make_whole_image_fn(apply_fn, h, w, ps, square=square)
 
             # quantize to uint8 ON DEVICE (same rounding as
             # data.images.save_img): 4x less device->host traffic per frame

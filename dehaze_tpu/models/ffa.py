@@ -93,8 +93,15 @@ class FFA(nn.Module):
         res1 = Group(self.dim, self.blocks, dtype=self.dtype, name="g1")(x)
         res2 = Group(self.dim, self.blocks, dtype=self.dtype, name="g2")(res1)
         res3 = Group(self.dim, self.blocks, dtype=self.dtype, name="g3")(res2)
-        cat = jnp.concatenate([res1, res2, res3], axis=-1)
-        w = jnp.mean(cat, axis=(1, 2), keepdims=True)
+        # Reference pools the 3*dim concat THEN convolves (FFA.py:84-90,105).
+        # mean(concat(...)) == concat(per-tensor means): pool each group
+        # output and concatenate the [B,1,1,dim] vectors — identical math,
+        # skips materializing the gps*dim full-resolution concat (~816 MB at
+        # the 1664² canvas; measured as layout-transpose fusions in the TPU
+        # profile).
+        w = jnp.concatenate(
+            [jnp.mean(r, axis=(1, 2), keepdims=True) for r in (res1, res2, res3)],
+            axis=-1)
         w = nn.Conv(self.dim // 16, (1, 1), dtype=self.dtype, name="ca_conv1")(w)
         w = nn.relu(w)
         w = nn.Conv(self.dim * self.gps, (1, 1), dtype=self.dtype, name="ca_conv2")(w)

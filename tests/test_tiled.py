@@ -88,3 +88,35 @@ def test_stream_dehaze_matches_serial(tmp_path):
             run(jnp.asarray(load_img(str(src / f"{i}.png")))[None])[0]), 0, 1)
         got = load_img(str(dst / f"{i}.png"))
         np.testing.assert_allclose(got, ref, atol=1 / 255 + 1e-6)
+
+
+def test_stream_dehaze_native_mode(tmp_path):
+    """native=True (FFA protocol) runs frames at raw resolution — output
+    equals clip(apply_fn(img)) with no canvas involved."""
+    import os
+    import numpy as np
+    import jax.numpy as jnp
+    from dehaze_tpu.data.images import save_img, load_img
+    from dehaze_tpu.infer.stream import stream_dehaze
+
+    rng = np.random.default_rng(1)
+    src = tmp_path / "in"
+    dst = tmp_path / "out"
+    os.makedirs(src)
+    os.makedirs(dst)
+    imgs = [rng.uniform(size=(17, 23, 3)).astype(np.float32) for _ in range(2)]
+    for i, im in enumerate(imgs):
+        save_img(str(src / f"{i}.png"), im)
+
+    def apply_fn(x):
+        return (x * 1.5 - 0.2).astype(jnp.float32)
+
+    frames = [(str(src / f"{i}.png"), str(dst / f"{i}.png")) for i in range(2)]
+    stats = stream_dehaze(apply_fn, frames, native=True)
+    assert stats["frames"] == 2
+
+    for i in range(2):
+        ref = np.clip(np.asarray(load_img(str(src / f"{i}.png"))) * 1.5 - 0.2,
+                      0, 1)
+        got = load_img(str(dst / f"{i}.png"))
+        np.testing.assert_allclose(got, ref, atol=1 / 255 + 1e-6)
