@@ -38,6 +38,11 @@ def main():
     p.add_argument("--perloss", action="store_true",
                    help="FFA only: add 0.04×VGG16-perceptual to the L1 "
                         "landscape loss (FFA_.../ops/My_tests.py:86-89)")
+    p.add_argument("--no_normalize", action="store_true",
+                   help="FFA only: skip the hazy-input Normalize(mean,std) "
+                        "the reference's FFA loader applies "
+                        "(FFA_model/data_utils.py:79); same flag as "
+                        "ffa_train")
     p.add_argument("--shard", default=None,
                    help="'i/n': process every n-th grid point with offset i "
                         "(points are independent; run n processes/hosts and "
@@ -83,6 +88,13 @@ def main():
     def batch_loss(p, clean, hazy, k):
         if args.use_mixup:
             clean, hazy = mixup(k, clean, hazy, cfg.data.mixup_beta)
+        if is_ffa and not args.no_normalize:
+            # the reference's FFA loader normalizes the hazy input
+            # (FFA_model/data_utils.py:79); normalize-then-mixup and
+            # mixup-then-normalize commute (both affine/convex)
+            from dehaze_tpu.train.ffa_trainer import normalize_hazy
+
+            hazy = normalize_hazy(hazy)
         restored = model.apply({"params": p}, hazy, train=False,
                                rngs={"sample": k})
         restored = jnp.clip(restored, 0.0, 1.0)
