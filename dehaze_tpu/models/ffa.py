@@ -9,8 +9,36 @@ NHWC throughout.
 
 from __future__ import annotations
 
+import numpy as np
+
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+
+# torch Conv2d default init (the reference trains FFA with it; FFA has no
+# normalization layers, so init scale decides stability — flax's default
+# lecun_normal has 3x the per-conv variance and the 57 residual blocks
+# compound it into diverging training):
+#   kernel ~ kaiming_uniform(a=sqrt(5)) = U(+-sqrt(1/fan_in))
+#   bias   ~ U(+-1/sqrt(fan_in))
+_torch_kernel_init = nn.initializers.variance_scaling(
+    1.0 / 3.0, "fan_in", "uniform")
+
+
+def _torch_bias_init(fan_in: int):
+    bound = 1.0 / np.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def _conv(features: int, ksize: int, in_feats: int, dtype, name: str):
+    return nn.Conv(features, (ksize, ksize), padding="SAME", dtype=dtype,
+                   kernel_init=_torch_kernel_init,
+                   bias_init=_torch_bias_init(ksize * ksize * in_feats),
+                   name=name)
 
 
 class PALayer(nn.Module):
@@ -21,9 +49,9 @@ class PALayer(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        y = nn.Conv(self.channel // 8, (1, 1), dtype=self.dtype, name="conv1")(x)
+        y = _conv(self.channel // 8, 1, self.channel, self.dtype, "conv1")(x)
         y = nn.relu(y)
-        y = nn.Conv(1, (1, 1), dtype=self.dtype, name="conv2")(y)
+        y = _conv(1, 1, self.channel // 8, self.dtype, "conv2")(y)
         return x * nn.sigmoid(y)
 
 
@@ -36,9 +64,9 @@ class CALayer(nn.Module):
     @nn.compact
     def __call__(self, x):
         y = jnp.mean(x, axis=(1, 2), keepdims=True)  # global avg pool
-        y = nn.Conv(self.channel // 8, (1, 1), dtype=self.dtype, name="conv1")(y)
+        y = _conv(self.channel // 8, 1, self.channel, self.dtype, "conv1")(y)
         y = nn.relu(y)
-        y = nn.Conv(self.channel, (1, 1), dtype=self.dtype, name="conv2")(y)
+        y = _conv(self.channel, 1, self.channel // 8, self.dtype, "conv2")(y)
         return x * nn.sigmoid(y)
 
 
@@ -50,11 +78,9 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        res = nn.relu(nn.Conv(self.dim, (3, 3), padding="SAME", dtype=self.dtype,
-                              name="conv1")(x))
+        res = nn.relu(_conv(self.dim, 3, self.dim, self.dtype, "conv1")(x))
         res = res + x
-        res = nn.Conv(self.dim, (3, 3), padding="SAME", dtype=self.dtype,
-                      name="conv2")(res)
+        res = _conv(self.dim, 3, self.dim, self.dtype, "conv2")(res)
         res = CALayer(self.dim, dtype=self.dtype, name="calayer")(res)
         res = PALayer(self.dim, dtype=self.dtype, name="palayer")(res)
         return res + x
@@ -72,8 +98,7 @@ class Group(nn.Module):
         res = x
         for i in range(self.blocks):
             res = Block(self.dim, dtype=self.dtype, name=f"block_{i}")(res)
-        res = nn.Conv(self.dim, (3, 3), padding="SAME", dtype=self.dtype,
-                      name="conv")(res)
+        res = _conv(self.dim, 3, self.dim, self.dtype, "conv")(res)
         return res + x
 
 
@@ -89,7 +114,7 @@ class FFA(nn.Module):
     def __call__(self, x1, train: bool = False):
         assert self.gps == 3
         inp = x1.astype(self.dtype)
-        x = nn.Conv(self.dim, (3, 3), padding="SAME", dtype=self.dtype, name="pre")(inp)
+        x = _conv(self.dim, 3, 3, self.dtype, "pre")(inp)
         res1 = Group(self.dim, self.blocks, dtype=self.dtype, name="g1")(x)
         res2 = Group(self.dim, self.blocks, dtype=self.dtype, name="g2")(res1)
         res3 = Group(self.dim, self.blocks, dtype=self.dtype, name="g3")(res2)
@@ -102,16 +127,17 @@ class FFA(nn.Module):
         w = jnp.concatenate(
             [jnp.mean(r, axis=(1, 2), keepdims=True) for r in (res1, res2, res3)],
             axis=-1)
-        w = nn.Conv(self.dim // 16, (1, 1), dtype=self.dtype, name="ca_conv1")(w)
+        w = _conv(self.dim // 16, 1, self.dim * self.gps, self.dtype,
+                  "ca_conv1")(w)
         w = nn.relu(w)
-        w = nn.Conv(self.dim * self.gps, (1, 1), dtype=self.dtype, name="ca_conv2")(w)
+        w = _conv(self.dim * self.gps, 1, self.dim // 16, self.dtype,
+                  "ca_conv2")(w)
         w = nn.sigmoid(w)  # [B, 1, 1, gps*dim]
         w = w.reshape(w.shape[0], 1, 1, self.gps, self.dim)
         out = (
             w[..., 0, :] * res1 + w[..., 1, :] * res2 + w[..., 2, :] * res3
         )
         out = PALayer(self.dim, dtype=self.dtype, name="palayer")(out)
-        out = nn.Conv(self.dim, (3, 3), padding="SAME", dtype=self.dtype,
-                      name="post1")(out)
-        out = nn.Conv(3, (3, 3), padding="SAME", dtype=self.dtype, name="post2")(out)
+        out = _conv(self.dim, 3, self.dim, self.dtype, "post1")(out)
+        out = _conv(3, 3, self.dim, self.dtype, "post2")(out)
         return (x1 + out.astype(jnp.float32)).astype(jnp.float32)
