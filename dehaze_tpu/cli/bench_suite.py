@@ -51,6 +51,9 @@ def main():
     p.add_argument("--accum_steps", type=int, default=1,
                    help="gradient-accumulation microbatches per step in the "
                         "train mode")
+    p.add_argument("--ffa_blocks", type=int, default=19)
+    p.add_argument("--ffa_crop", type=int, default=240,
+                   help="FFA train-mode crop size (reference recipe 240)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize LeWin blocks in the train mode "
                         "(per-chip b64/b128 fit in HBM)")
@@ -58,8 +61,9 @@ def main():
     modes = args.modes.split(",")
 
     cfg = ModelConfig(arch=args.arch, img_size=128, embed_dim=args.embed_dim,
-                      dtype=jnp.bfloat16, use_pallas=args.pallas,
-                      fast_gelu=args.fast_gelu, remat=args.remat)
+                      ffa_blocks=args.ffa_blocks, dtype=jnp.bfloat16,
+                      use_pallas=args.pallas, fast_gelu=args.fast_gelu,
+                      remat=args.remat)
     from dehaze_tpu.models import get_arch
 
     model = get_arch(cfg)
@@ -99,10 +103,31 @@ def main():
             dt = timeit(fn, xb)
             results.append({"mode": "fwd_patch_b32", "sec": round(dt, 4),
                             "img_s": round(32 / dt, 2), "pallas": args.pallas})
-        if "train" in modes and args.arch != "uformer":
-            print(json.dumps({"mode": "train", "skipped":
-                              f"train bench is uformer-only (use "
-                              f"cli.ffa_train for the FFA recipe)"}))
+        if "train" in modes and args.arch == "ffa":
+            # FFA recipe step (main.py: L1, Adam 1e-4, bs 2 x 240²)
+            from dehaze_tpu.train.ffa_trainer import FFATrainer
+
+            ftrainer = FFATrainer(blocks=args.ffa_blocks,
+                                  total_steps=100_000)
+            for b in (int(s) for s in args.train_batches.split(",")):
+                clean = np.random.default_rng(0).uniform(
+                    size=(b, args.ffa_crop, args.ffa_crop, 3)
+                ).astype(np.float32)
+                hazy = np.clip(clean + 0.1, 0, 1).astype(np.float32)
+                fstate = ftrainer.init_state(jax.random.PRNGKey(1), clean[:1])
+                for _ in range(2):
+                    fstate, _ = ftrainer.train_step(fstate, clean, hazy)
+                jax.block_until_ready(fstate.params)
+                t0 = time.perf_counter()
+                iters = 5
+                for _ in range(iters):
+                    fstate, _ = ftrainer.train_step(fstate, clean, hazy)
+                jax.block_until_ready(fstate.params)
+                dt = (time.perf_counter() - t0) / iters
+                results.append({"mode": f"ffa_train_step_b{b}",
+                                "sec": round(dt, 4),
+                                "img_s": round(b / dt, 2),
+                                "crop": args.ffa_crop})
         elif "train" in modes:
             from dehaze_tpu.train.trainer import Trainer
 
