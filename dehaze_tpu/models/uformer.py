@@ -297,9 +297,18 @@ class LeWinBlock(nn.Module):
                     "row-band sharding (use infer.anyres single-device)")
             # input-mask path (`My_model_1.py:791-798` / test_in_any_resolution):
             # nearest-resize the full-res padding mask to this stage and window
-            # it. Quirk preserved: the mask is NOT cyclically shifted even for
-            # SW blocks (the reference builds it from unshifted coords).
-            pm = jax.image.resize(pad_mask, (1, H, W, 1), method="nearest")
+            # it. Quirks preserved: the mask is NOT cyclically shifted even for
+            # SW blocks (the reference builds it from unshifted coords), and
+            # the resize uses torch F.interpolate's LEGACY nearest indexing
+            # src = floor(dst * in/out) — not jax.image.resize's half-pixel
+            # centers, which picks different rows and shifts the mask border
+            # (oracle-caught: 2.5e-3 output diffs on 10% of pixels).
+            hin, win_in = pad_mask.shape[1], pad_mask.shape[2]
+            idx_h = np.minimum((np.arange(H) * (hin / H)).astype(np.int32),
+                               hin - 1)
+            idx_w = np.minimum((np.arange(W) * (win_in / W)).astype(np.int32),
+                               win_in - 1)
+            pm = pad_mask[:, idx_h][:, :, idx_w]
             pad_flag = win_ops.window_partition(pm, win)[..., 0]  # [nW, N]
 
         windows = win_ops.window_partition(y, win)  # [B*nW, N, C]

@@ -431,3 +431,85 @@ def test_test_long_ffa_pth_end_to_end(tmp_path):
             yt = ref((xt - mean) / std).clamp(0, 1).numpy()[0]
         got = load_img(str(out_dir / f"{i}.png"))
         np.testing.assert_allclose(got, yt.transpose(1, 2, 0), atol=2 / 255)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("variant", ["wmsa", "probsparse"])
+def test_anyres_mask_parity_vs_reference_torch(variant, monkeypatch):
+    """Any-resolution protocol oracle (`test_in_any_resolution.py:67-109`):
+    expand2square to a 128² canvas with a centered 100×120 image, forward
+    with the `1-mask` padding mask, crop the valid region — against the
+    reference's own torch models (W-MSA deterministic; ProbSparse with
+    pinned key sampling). Exercises the per-stage nearest-resize mask
+    windowing and the not-shifted-mask quirk end-to-end.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from dehaze_tpu.config import ModelConfig
+    from dehaze_tpu.infer.anyres import make_anyres_fn
+    from dehaze_tpu.models.uformer import Uformer
+    from dehaze_tpu.ops import probsparse as PS
+    from dehaze_tpu.utils.convert_torch import convert_uformer_state_dict
+
+    h, w = 100, 120  # -> X = 128 canvas, centered with odd margins
+    rng = np.random.default_rng(21)
+    x = rng.uniform(size=(1, h, w, 3)).astype(np.float32)
+
+    from dehaze_tpu.cli.baseline_probe import _stub_modules
+
+    _stub_modules(REF)
+    torch.manual_seed(9)
+    if variant == "wmsa":
+        import My_model
+
+        m = My_model.Uformer(img_size=128, embed_dim=8, win_size=8,
+                             token_projection="linear", token_mlp="leff",
+                             drop_path_rate=0.0)
+        attention = "full"
+    else:
+        import My_model_1
+
+        m = My_model_1.Uformer(img_size=128, embed_dim=8, win_size=8,
+                               token_projection="linear", token_mlp="leff",
+                               drop_path_rate=0.0)
+        attention = "probsparse"
+        u = PS.probsparse_u(64)
+        fixed_idx = rng.integers(0, 64, size=(64, u))
+        monkeypatch.setattr(
+            torch, "randint",
+            lambda high, size, **kw: torch.from_numpy(
+                fixed_idx[:size[0], :size[1]].copy()))
+        monkeypatch.setattr(
+            PS, "sample_indices",
+            lambda key, l_q, l_k, u_part: jnp.asarray(
+                fixed_idx[:l_q, :u_part].astype(np.int32)))
+    m.eval()
+
+    # reference expand2square (`test_in_any_resolution.py:67-80`)
+    X = 128
+    r0, c0 = (X - h) // 2, (X - w) // 2
+    canvas_t = np.zeros((1, 3, X, X), np.float32)
+    canvas_t[:, :, r0:r0 + h, c0:c0 + w] = x.transpose(0, 3, 1, 2)
+    mask_t = np.zeros((1, 1, X, X), np.float32)
+    mask_t[:, :, r0:r0 + h, c0:c0 + w] = 1.0
+    with torch.no_grad():
+        yt = m(torch.from_numpy(canvas_t),
+               torch.from_numpy(1.0 - mask_t)).numpy()
+    yt = yt[:, :, r0:r0 + h, c0:c0 + w].transpose(0, 2, 3, 1)
+    yt = np.clip(yt, 0.0, 1.0)  # make_anyres_fn clips its crop
+
+    params = convert_uformer_state_dict(m.state_dict(), attention=attention)
+    cfg = ModelConfig(img_size=128, embed_dim=8, attention=attention,
+                      dtype=jnp.float32, drop_path_rate=0.0)
+    model = Uformer(cfg)
+    key = jax.random.PRNGKey(0)
+
+    def apply_fn(img, pad):
+        return model.apply({"params": params}, img, train=False,
+                           pad_mask=pad, rngs={"sample": key})
+
+    run = make_anyres_fn(apply_fn, h, w, factor=128)
+    yj = np.asarray(run(jnp.asarray(x)))
+    assert yj.shape == yt.shape
+    np.testing.assert_allclose(yj, yt, rtol=2e-4, atol=2e-4)
