@@ -27,10 +27,13 @@ def make_sharded_whole_image_fn(
     w: int,
     ps: int = 128,
     axis: str = "data",
+    native: bool = False,
 ):
     """Jitted [B, h, w, C] → restored [B, h, w, C], B sharded over the mesh.
 
-    B must be a multiple of the mesh axis size.
+    B must be a multiple of the mesh axis size. `native=True` skips the
+    wrap-pad canvas (the FFA protocol, `FFA_model/test.py:49-60` — fully
+    convolutional nets only).
     """
     L = canvas_size(h, w, ps)
     in_sh = NamedSharding(mesh, P(axis))
@@ -38,6 +41,8 @@ def make_sharded_whole_image_fn(
     @jax.jit
     def run(img):
         img = jax.lax.with_sharding_constraint(img, in_sh)
+        if native:
+            return jnp.clip(apply_fn(img), 0.0, 1.0)
         canvas = wrap_pad_canvas(img, L)
         out = apply_fn(canvas)
         return jnp.clip(out[:, :h, :w, :], 0.0, 1.0)

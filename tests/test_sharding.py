@@ -163,3 +163,37 @@ def test_sharded_whole_image_batch_mismatch_raises():
     run = make_sharded_whole_image_fn(lambda x: x, mesh, 50, 50, ps=32)
     with pytest.raises(ValueError, match="not a multiple"):
         run(np.zeros((3, 50, 50, 3), np.float32))
+
+
+@needs_8
+def test_sharded_ffa_native_frames_match_single_device():
+    """Frame-parallel FFA serving: native-protocol (no canvas) frames sharded
+    over the mesh equal the single-device native forward."""
+    import jax.numpy as jnp
+
+    from dehaze_tpu.config import ModelConfig
+    from dehaze_tpu.infer.sharded import make_sharded_whole_image_fn
+    from dehaze_tpu.infer.tiled import make_native_image_fn
+    from dehaze_tpu.models import get_arch
+
+    cfg = ModelConfig(arch="ffa", ffa_blocks=1, ffa_dim=16, dtype=jnp.float32)
+    model = get_arch(cfg)
+    key = jax.random.PRNGKey(0)
+    variables = jax.jit(
+        lambda: model.init(key, jnp.zeros((1, 24, 24, 3)))
+    )()
+
+    def apply_fn(x):
+        return model.apply(variables, x)
+
+    rng = np.random.default_rng(5)
+    imgs = rng.uniform(size=(8, 24, 40, 3)).astype(np.float32)
+
+    single = make_native_image_fn(apply_fn)
+    expect = np.asarray(single(jnp.asarray(imgs)))
+
+    mesh = make_mesh(8)
+    sharded = make_sharded_whole_image_fn(apply_fn, mesh, 24, 40,
+                                          native=True)
+    got = np.asarray(sharded(imgs))
+    np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-6)
