@@ -212,6 +212,34 @@ def convert_ffa_state_dict(
     return params
 
 
+def convert_unet_state_dict(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
+    """torch UNet state_dict → dehaze_tpu UNet params.
+
+    Mirrors `Uformer_ProbSparse/My_model_1.py:48-115`: 9 ConvBlocks
+    (`.block.0`/`.block.2` convs + `.conv11` shortcut), 4 stride-2 pool
+    convs, 4 ConvTranspose ups, final conv10. DataParallel prefixes
+    tolerated.
+    """
+    sd = {}
+    for k, v in state_dict.items():
+        if k.startswith("module."):
+            k = k[len("module.") :]
+        sd[k] = v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+
+    params: Dict[str, Any] = {"conv10": _conv(sd, "conv10")}
+    for i in range(1, 10):
+        params[f"block{i}"] = {
+            "conv1": _conv(sd, f"ConvBlock{i}.block.0"),
+            "conv2": _conv(sd, f"ConvBlock{i}.block.2"),
+            "conv11": _conv(sd, f"ConvBlock{i}.conv11"),
+        }
+    for i in range(1, 5):
+        params[f"pool{i}"] = _conv(sd, f"pool{i}")
+    for i in range(6, 10):
+        params[f"up{i}"] = _deconv(sd, f"upv{i}")
+    return params
+
+
 def load_reference_ffa_checkpoint(path: str, **kw) -> Dict[str, Any]:
     """Load a reference FFA .pth `{'model': ...}` file (main.py:122-142)."""
     import torch

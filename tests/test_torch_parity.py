@@ -513,3 +513,40 @@ def test_anyres_mask_parity_vs_reference_torch(variant, monkeypatch):
     yj = np.asarray(run(jnp.asarray(x)))
     assert yj.shape == yt.shape
     np.testing.assert_allclose(yj, yt, rtol=2e-4, atol=2e-4)
+
+
+def test_unet_full_model_parity_vs_reference_torch():
+    """Reference UNet (`My_model_1.py:48-115`, arch='UNet' via
+    `utils/model_utils.py:84-88`) as oracle; weights converted with
+    `convert_unet_state_dict`; ≤2e-4 agreement. Exercises ConvBlock
+    (conv-lrelu-conv-lrelu + 1x1 shortcut), stride-2 pool convs,
+    ConvTranspose ups, skip concats, global residual."""
+    import jax
+    import jax.numpy as jnp
+
+    from dehaze_tpu.models.unet import UNet
+    from dehaze_tpu.utils.convert_torch import convert_unet_state_dict
+
+    from dehaze_tpu.cli.baseline_probe import _stub_modules
+
+    _stub_modules(REF)
+    import My_model_1
+
+    torch.manual_seed(3)
+    ref = My_model_1.UNet(dim=8)
+    ref.eval()
+
+    rng = np.random.default_rng(7)
+    x = rng.uniform(size=(2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        yt = (ref(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+              .numpy().transpose(0, 2, 3, 1))
+
+    params = convert_unet_state_dict(ref.state_dict())
+    model = UNet(dim=8)
+    yj = np.asarray(
+        jax.jit(lambda p, v: model.apply({"params": p}, v))(
+            params, jnp.asarray(x))
+    )
+    assert yj.shape == yt.shape
+    np.testing.assert_allclose(yj, yt, rtol=2e-4, atol=2e-4)
