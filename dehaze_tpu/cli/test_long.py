@@ -61,6 +61,13 @@ def main():
         if cfg.model.arch == "ffa":
             params = CT.load_reference_ffa_checkpoint(
                 args.weights, blocks=cfg.model.ffa_blocks)
+        elif cfg.model.arch == "unet":
+            import torch
+
+            payload = torch.load(args.weights, map_location="cpu",
+                                 weights_only=False)
+            params = CT.convert_unet_state_dict(
+                payload.get("state_dict", payload))
         else:
             params = CT.load_reference_checkpoint(
                 args.weights, attention=cfg.model.attention,
