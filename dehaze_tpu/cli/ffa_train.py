@@ -35,6 +35,10 @@ def main():
                    help="converted VGG16 .npz for --perloss "
                         "(see cli.convert_vgg); random-init VGG otherwise")
     p.add_argument("--no_normalize", action="store_true")
+    p.add_argument("--data_axis", type=int, default=0,
+                   help="shard the batch over an N-chip data-parallel mesh "
+                        "(≙ the reference's nn.DataParallel, main.py:182); "
+                        "0/1 = single device")
     p.add_argument("--model_dir", default="./FFA_pretrain_weight")
     p.add_argument("--seed", type=int, default=1234)
     a = p.parse_args()
@@ -48,6 +52,18 @@ def main():
 
     sample = np.zeros((a.bs, a.crop_size, a.crop_size, 3), np.float32)
     state = trainer.init_state(jax.random.PRNGKey(a.seed), sample[:1])
+
+    mesh = None
+    if a.data_axis > 1:
+        from dehaze_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                              replicated)
+
+        if a.bs % a.data_axis:
+            raise SystemExit(f"--bs {a.bs} not divisible by "
+                             f"--data_axis {a.data_axis}")
+        mesh = make_mesh(a.data_axis)
+        state = jax.device_put(state, replicated(mesh))
+        bsh = batch_sharding(mesh)
 
     def infinite_batches():
         for epoch in itertools.count():
@@ -64,6 +80,9 @@ def main():
     for step, (clean, hazy) in enumerate(it, start=1):
         if step > a.steps:
             break
+        if mesh is not None:
+            clean = jax.device_put(clean, bsh)
+            hazy = jax.device_put(hazy, bsh)
         state, loss = trainer.train_step(state, clean, hazy)
         loss_futs.append(loss)
         # print the PREVIOUS step's loss: it is already computed, so the

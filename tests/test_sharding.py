@@ -197,3 +197,32 @@ def test_sharded_ffa_native_frames_match_single_device():
                                           native=True)
     got = np.asarray(sharded(imgs))
     np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-6)
+
+
+@needs_8
+def test_ffa_dp_train_step_matches_single_device():
+    """FFA DataParallel (≙ reference FFA main.py:182 nn.DataParallel):
+    replicated FFAState + batch sharded over the mesh gives the same loss
+    and updated params as the unsharded step."""
+    from dehaze_tpu.train.ffa_trainer import FFATrainer
+
+    trainer = FFATrainer(blocks=1, total_steps=10)
+    rng = np.random.default_rng(2)
+    clean = rng.uniform(size=(8, 16, 16, 3)).astype(np.float32)
+    hazy = np.clip(clean + 0.1, 0, 1).astype(np.float32)
+
+    s0 = trainer.init_state(jax.random.PRNGKey(4), clean[:1])
+    s_single, l_single = trainer.train_step(s0, clean, hazy)
+
+    mesh = make_mesh(8)
+    s0b = trainer.init_state(jax.random.PRNGKey(4), clean[:1])
+    s0b = jax.device_put(s0b, replicated(mesh))
+    cd = jax.device_put(clean, batch_sharding(mesh))
+    hd = jax.device_put(hazy, batch_sharding(mesh))
+    s_multi, l_multi = trainer.train_step(s0b, cd, hd)
+
+    np.testing.assert_allclose(float(l_single), float(l_multi), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s_single.params),
+                    jax.tree.leaves(s_multi.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-6)
