@@ -214,9 +214,12 @@ def test_ffa_train_cli_end_to_end(tmp_path):
            "--train_dir", str(data), "--val_dir", str(data),
            "--steps", "4", "--eval_step", "2", "--bs", "2",
            "--crop_size", "16", "--blocks", "1", "--gps", "3",
+           "--data_axis", "2",  # DP mesh path (≙ main.py:182 DataParallel)
            "--model_dir", mdir]
     r = subprocess.run(cmd, capture_output=True, text=True, timeout=560,
                        env={**os.environ, "JAX_PLATFORMS": "cpu",
+                            "XLA_FLAGS": "--xla_force_host_platform_device"
+                                         "_count=8",
                             "PYTHONPATH": os.path.dirname(
                                 os.path.dirname(os.path.abspath(__file__)))})
     assert r.returncode == 0, r.stderr[-2000:]
