@@ -88,19 +88,17 @@ def main():
             x = normalize_hazy(x)
         return model.apply(variables, x, train=False, rngs={"sample": key})
 
-    run = None
+    # FFA protocol: raw-resolution forward, no canvas (FFA_model/test.py:
+    # 49-60; fully convolutional) — one shape-polymorphic jitted fn. Other
+    # archs build a canvas fn per geometry.
+    run = make_native_image_fn(apply_fn) if is_ffa else None
     geom = None
     psnrs, ssims = [], []
     for clean, hazy, name in val_images(folder):
         h, w = hazy.shape[:2]
-        if geom != (h, w):
-            if is_ffa:
-                # FFA protocol: raw-resolution forward, no canvas
-                # (FFA_model/test.py:49-60; fully convolutional)
-                run = make_native_image_fn(apply_fn)
-            else:
-                run = make_whole_image_fn(apply_fn, h, w, args.train_ps,
-                                          square=not args.rect_canvas)
+        if not is_ffa and geom != (h, w):
+            run = make_whole_image_fn(apply_fn, h, w, args.train_ps,
+                                      square=not args.rect_canvas)
             geom = (h, w)
         out = np.asarray(run(jnp.asarray(hazy)[None])[0])
         psnr = float(M.psnr(jnp.asarray(out), jnp.asarray(clean)))
