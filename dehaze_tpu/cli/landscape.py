@@ -43,6 +43,12 @@ def main():
                         "the reference's FFA loader applies "
                         "(FFA_model/data_utils.py:79); same flag as "
                         "ffa_train")
+    p.add_argument("--points_per_batch", type=int, default=1,
+                   help="evaluate P grid points per dispatch by vmapping "
+                        "the loss over P perturbed parameter sets — a "
+                        "TPU-native batching of the sweep (the reference "
+                        "evaluates its 441 points serially); P× params in "
+                        "HBM and P× the eval batch, so size to the chip")
     p.add_argument("--shard", default=None,
                    help="'i/n': process every n-th grid point with offset i "
                         "(points are independent; run n processes/hosts and "
@@ -84,8 +90,7 @@ def main():
             vgg_mod.warn_random_vgg("landscape loss")
             vgg_params = vgg_mod.init_vgg_params(vgg)
 
-    @jax.jit
-    def batch_loss(p, clean, hazy, k):
+    def batch_loss_impl(p, clean, hazy, k):
         if args.use_mixup:
             clean, hazy = mixup(k, clean, hazy, cfg.data.mixup_beta)
         if is_ffa and not args.no_normalize:
@@ -118,6 +123,15 @@ def main():
             loss = loss + cfg.loss.w_contrast * l_cr
         return loss
 
+    if args.points_per_batch > 1:
+        # P grid points per dispatch: vmap over the perturbed-parameter
+        # axis (data and MixUp key broadcast, so every point sees the
+        # identical eval stream — same semantics as the serial path).
+        batch_loss = jax.jit(
+            jax.vmap(batch_loss_impl, in_axes=(0, None, None, None)))
+    else:
+        batch_loss = jax.jit(batch_loss_impl)
+
     folder = PairedFolder(cfg.data.train_dir)
 
     def loss_on_dataset(p):
@@ -130,9 +144,10 @@ def main():
             if args.max_batches and i >= args.max_batches:
                 break
             k, sub = jax.random.split(k)
-            losses.append(float(batch_loss(p, jnp.asarray(clean),
-                                           jnp.asarray(hazy), sub)))
-        return float(np.mean(losses))
+            losses.append(batch_loss(p, jnp.asarray(clean),
+                                     jnp.asarray(hazy), sub))
+        # scalar path -> float; stacked path -> [P] vector
+        return np.mean(np.stack([np.asarray(l) for l in losses]), axis=0)
 
     point_filter = None
     if args.shard:
@@ -144,6 +159,7 @@ def main():
         kws=["pos_embed", "relative_position"],  # My_losslandscape.py:198
         n=args.n, scale=args.scale, seed=cfg.train.seed,
         csv_path=args.out_csv, verbose=True, point_filter=point_filter,
+        points_per_batch=args.points_per_batch,
     )
     all_rows = LS.load_landscape_csv(args.out_csv) if args.out_csv else rows
     LS.plot_landscape(all_rows, args.out_plot)

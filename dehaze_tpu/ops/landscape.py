@@ -92,6 +92,39 @@ def perturb(params, bases, x: float, y: float):
     )
 
 
+def perturb_stacked(params, bases, xs, ys):
+    """P perturbed trees at once: every leaf gains a leading [P] axis.
+
+    TPU-native batching the torch reference cannot express: the sweep's
+    grid points are independent *models*, so a chunk of them becomes one
+    vmapped forward (`get_loss_landscape(points_per_batch=P)`), filling
+    the MXU with P× the work per dispatch instead of P serial evals.
+    """
+    xs = jnp.asarray(xs, jnp.float32)
+    ys = jnp.asarray(ys, jnp.float32)
+
+    def f(w, b1, b2):
+        shape = (-1,) + (1,) * w.ndim
+        return (w[None] + xs.reshape(shape) * b1[None]
+                + ys.reshape(shape) * b2[None])
+
+    return jax.tree.map(f, params, bases[0], bases[1])
+
+
+def param_l1_stacked(p_stack):
+    """[P] vector of Σ ||p||_1 over leaves (stacked `perturb_stacked` tree)."""
+    leaves = jax.tree.leaves(p_stack)
+    return sum(jnp.sum(jnp.abs(l).reshape(l.shape[0], -1), axis=1)
+               for l in leaves)
+
+
+def param_l2_stacked(p_stack):
+    """[P] vector of Σ ||p||_2 (sum of per-tensor norms, `ops/norm.py:15-21`)."""
+    leaves = jax.tree.leaves(p_stack)
+    return sum(jnp.linalg.norm(l.reshape(l.shape[0], -1), axis=1)
+               for l in leaves)
+
+
 def param_l1(params) -> float:
     """Σ ||p||_1 over leaves (`ops/norm.py:4-12`)."""
     return float(sum(jnp.sum(jnp.abs(p)) for p in jax.tree.leaves(params)))
@@ -114,11 +147,17 @@ def get_loss_landscape(
     csv_path: Optional[str] = None,
     point_filter: Optional[Callable[[int], bool]] = None,
     verbose: bool = False,
+    points_per_batch: int = 1,
 ) -> List[Dict[str, float]]:
     """Sweep the n×n grid over [-scale, scale]² (loss_landscapes.py:75-124).
 
     loss_on_dataset(perturbed_params) -> scalar mean loss over the eval set
     (the caller owns batching/jit; see train.landscape_loss_fn).
+
+    With points_per_batch=P > 1, P grid points are evaluated per dispatch:
+    loss_on_dataset receives a `perturb_stacked` tree (leading [P] axis on
+    every leaf) and must return a length-P loss vector — the CLI builds it
+    with jax.vmap over the parameter axis. The final chunk may be shorter.
 
     Rows: {x, y, l1, l2, loss}. With csv_path, each point appends immediately
     and existing (x, y) rows are skipped on restart (crash recovery ≙ #33).
@@ -143,26 +182,44 @@ def get_loss_landscape(
             writer.writerow(["x", "y", "l1", "l2", "loss"])
             fh.flush()
 
+    pending = [
+        (float(x), float(y))
+        for i, (x, y) in enumerate(grid)
+        if not (point_filter and not point_filter(i))
+        and (float(x), float(y)) not in done
+    ]
+
+    def emit(x, y, l1, l2, loss, rows):
+        row = {"x": x, "y": y, "l1": l1, "l2": l2, "loss": loss}
+        rows.append(row)
+        if writer:
+            writer.writerow([x, y, l1, l2, loss])
+            fh.flush()
+        if verbose:
+            print(f"Grid: [{x:+.2f} {y:+.2f}] loss: {loss:.6f}", flush=True)
+
     rows = []
     try:
-        for i, (x, y) in enumerate(grid):
-            if point_filter and not point_filter(i):
-                continue
-            if (float(x), float(y)) in done:
-                continue
-            p = perturb(params, bases, float(x), float(y))
-            loss = float(loss_on_dataset(p))
-            row = {
-                "x": float(x), "y": float(y),
-                "l1": param_l1(p), "l2": param_l2(p), "loss": loss,
-            }
-            rows.append(row)
-            if writer:
-                writer.writerow([row["x"], row["y"], row["l1"], row["l2"],
-                                 row["loss"]])
-                fh.flush()
-            if verbose:
-                print(f"Grid: [{x:+.2f} {y:+.2f}] loss: {loss:.6f}", flush=True)
+        if points_per_batch <= 1:
+            for x, y in pending:
+                p = perturb(params, bases, x, y)
+                loss = float(loss_on_dataset(p))
+                emit(x, y, param_l1(p), param_l2(p), loss, rows)
+        else:
+            norms = jax.jit(lambda s: (param_l1_stacked(s),
+                                       param_l2_stacked(s)))
+            for c in range(0, len(pending), points_per_batch):
+                chunk = pending[c:c + points_per_batch]
+                # pad the final chunk to a full P so every dispatch reuses
+                # the one compiled program (relay compiles are minutes here)
+                padded = chunk + [chunk[-1]] * (points_per_batch - len(chunk))
+                xs = [x for x, _ in padded]
+                ys = [y for _, y in padded]
+                p_stack = perturb_stacked(params, bases, xs, ys)
+                losses = np.asarray(loss_on_dataset(p_stack))
+                l1s, l2s = (np.asarray(a) for a in norms(p_stack))
+                for (x, y), l1, l2, loss in zip(chunk, l1s, l2s, losses):
+                    emit(x, y, float(l1), float(l2), float(loss), rows)
     finally:
         if fh:
             fh.close()

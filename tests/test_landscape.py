@@ -73,6 +73,43 @@ def test_grid_sweep_csv_resume(tmp_path):
     assert len(LS.load_landscape_csv(csv_path)) == 9
 
 
+def test_points_per_batch_matches_serial(tmp_path):
+    """points_per_batch=P (stacked perturb + vectorized norms) produces the
+    identical rows as the serial sweep — including the padded final chunk
+    (9 points in chunks of 4)."""
+    p = _params()
+
+    def loss_serial(params):
+        return float(sum(jnp.sum(jnp.square(x))
+                         for x in jax.tree.leaves(params)))
+
+    def loss_stacked(p_stack):
+        return sum(jnp.sum(jnp.square(l).reshape(l.shape[0], -1), axis=1)
+                   for l in jax.tree.leaves(p_stack))
+
+    rows_s = LS.get_loss_landscape(p, loss_serial, n=3, scale=0.5, seed=0)
+    rows_v = LS.get_loss_landscape(p, loss_stacked, n=3, scale=0.5, seed=0,
+                                   points_per_batch=4)
+    assert len(rows_v) == len(rows_s) == 9
+    for rs, rv in zip(rows_s, rows_v):
+        assert (rs["x"], rs["y"]) == (rv["x"], rv["y"])
+        np.testing.assert_allclose(rv["loss"], rs["loss"], rtol=1e-5)
+        np.testing.assert_allclose(rv["l1"], rs["l1"], rtol=1e-5)
+        np.testing.assert_allclose(rv["l2"], rs["l2"], rtol=1e-5)
+
+
+def test_perturb_stacked_matches_perturb():
+    p = _params()
+    bases = LS.create_bases(p, seed=1)
+    xs, ys = [0.5, -1.0], [-0.25, 0.75]
+    stack = LS.perturb_stacked(p, bases, xs, ys)
+    for i, (x, y) in enumerate(zip(xs, ys)):
+        single = LS.perturb(p, bases, x, y)
+        for ls, lv in zip(jax.tree.leaves(single), jax.tree.leaves(stack)):
+            np.testing.assert_allclose(np.asarray(lv[i]), np.asarray(ls),
+                                       rtol=1e-6)
+
+
 def test_trajectory_math():
     init = {"w": jnp.asarray([1.0, 0.0])}
     best = {"w": jnp.asarray([0.0, 0.0])}
