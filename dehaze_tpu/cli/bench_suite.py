@@ -45,6 +45,10 @@ def main():
     p.add_argument("--embed_dim", type=int, default=32)
     p.add_argument("--profile", default=None)
     p.add_argument("--whole_hw", default="1200x1600")
+    p.add_argument("--whole_batch", type=int, default=1,
+                   help="frames per dispatch in fwd_whole (amortizes the "
+                        "fixed per-dispatch overhead — ~12%% of the FFA "
+                        "frame time, DESIGN.md)")
     p.add_argument("--train_batches", default="32",
                    help="comma list of per-step batch sizes for the train "
                         "mode (batch-scaling curve, e.g. 32,64,128)")
@@ -91,10 +95,12 @@ def main():
                 run = make_whole_image_fn(apply_fn, h, w, 128)
                 canvas = "square"
             img = jnp.asarray(np.random.default_rng(0).uniform(
-                size=(1, h, w, 3)).astype(np.float32))
+                size=(args.whole_batch, h, w, 3)).astype(np.float32))
             dt = timeit(run, img)
             results.append({"mode": "fwd_whole", "sec": round(dt, 4),
-                            "mpix_s": round(h * w / 1e6 / dt, 3),
+                            "mpix_s": round(args.whole_batch * h * w / 1e6
+                                            / dt, 3),
+                            "batch": args.whole_batch,
                             "canvas": canvas, "pallas": args.pallas})
         if "fwd_patch" in modes:
             xb = jnp.asarray(np.random.default_rng(0).uniform(

@@ -165,8 +165,47 @@ class LeFF(nn.Module):
                          dtype=self.dtype, name="linear2")(
                 x.reshape(b * h * w, c))
             return y.reshape(b, h, w, self.out_dim)
+        if (_os.environ.get("DEHAZE_TPU_LEFF_PAIRPACK")
+                and self.out_dim <= 64
+                and (x.shape[0] * x.shape[1] * x.shape[2]) % 2 == 0):
+            # EXPERIMENT (env-gated): token-pair block-diagonal linear2.
+            # out_dim ≤ 64 half-fills the 128-wide MXU/VPU lanes, which is
+            # what drives XLA's batch-in-lanes dot emitters (~60 ms/frame
+            # ledgered waste, DESIGN.md). Packing two consecutive tokens
+            # per row — [T, 4C] → [T/2, 8C] times blockdiag(W, W) [8C, 2C]
+            # — fills all 128 output lanes; both reshapes are contiguous
+            # row-major no-ops and the parameter tree is unchanged.
+            return _PairPackDense(self.out_dim, dtype=self.dtype,
+                                  name="linear2")(x)
         return nn.Dense(self.out_dim, kernel_init=trunc_init, dtype=self.dtype,
                         name="linear2")(x)
+
+
+class _PairPackDense(nn.Module):
+    """Dense(C4→F) computed as [T/2, 2·C4] @ blockdiag(W, W).
+
+    Parameter tree (kernel [C4, F], bias [F]) is identical to nn.Dense, so
+    checkpoints are interchangeable; math is identical (the off-diagonal
+    blocks are exact zeros)."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c4 = x.shape
+        kernel = self.param("kernel", trunc_init, (c4, self.features),
+                            jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+        k = kernel.astype(self.dtype)
+        big = jnp.zeros((2 * c4, 2 * self.features), self.dtype)
+        big = big.at[:c4, :self.features].set(k)
+        big = big.at[c4:, self.features:].set(k)
+        t = b * h * w
+        y = x.astype(self.dtype).reshape(t // 2, 2 * c4) @ big
+        y = y + jnp.concatenate([bias, bias]).astype(self.dtype)
+        return y.reshape(b, h, w, self.features)
 
 
 class DepthwiseConv3x3(nn.Module):
