@@ -132,6 +132,39 @@ def main():
     else:
         batch_loss = jax.jit(batch_loss_impl)
 
+    shard_stack = None
+    if args.data_axis and args.data_axis > 1:
+        # Landscape points are independent models: shard the stacked
+        # parameter axis over the mesh and each chip sweeps its own
+        # points — no collectives, linear scaling (the TPU-mesh form of
+        # the reference's run-N-processes-and-merge-CSVs flow).
+        # shard_map (not GSPMD) because the partitioner cannot split
+        # vmapped grouped convs (FFA's PA/CA layers) on the vmap axis;
+        # with an explicit per-device map every op stays point-local.
+        if args.points_per_batch <= 1:
+            raise SystemExit("--data_axis needs --points_per_batch > 1")
+        if args.points_per_batch % args.data_axis:
+            raise SystemExit(
+                f"--points_per_batch {args.points_per_batch} not divisible "
+                f"by --data_axis {args.data_axis}")
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as PS
+        from dehaze_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                              replicated)
+
+        mesh = make_mesh(args.data_axis)
+        point_sh = batch_sharding(mesh)   # P('data') on the stacked axis
+        repl_sh = replicated(mesh)
+        batch_loss = jax.jit(shard_map(
+            jax.vmap(batch_loss_impl, in_axes=(0, None, None, None)),
+            mesh=mesh,
+            in_specs=(PS("data"), PS(), PS(), PS()),
+            out_specs=PS("data"), check_rep=False))
+
+        def shard_stack(p_stack, arrs):
+            return (jax.device_put(p_stack, point_sh),
+                    [jax.device_put(a, repl_sh) for a in arrs])
+
     folder = PairedFolder(cfg.data.train_dir)
 
     def loss_on_dataset(p):
@@ -144,8 +177,10 @@ def main():
             if args.max_batches and i >= args.max_batches:
                 break
             k, sub = jax.random.split(k)
-            losses.append(batch_loss(p, jnp.asarray(clean),
-                                     jnp.asarray(hazy), sub))
+            clean, hazy = jnp.asarray(clean), jnp.asarray(hazy)
+            if shard_stack is not None:
+                p, (clean, hazy, sub) = shard_stack(p, [clean, hazy, sub])
+            losses.append(batch_loss(p, clean, hazy, sub))
         # scalar path -> float; stacked path -> [P] vector
         return np.mean(np.stack([np.asarray(l) for l in losses]), axis=0)
 

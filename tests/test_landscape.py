@@ -200,6 +200,64 @@ def test_landscape_cli_ffa_perloss(tmp_path):
     assert len(rows) == 4 and all(np.isfinite(r_["loss"]) for r_ in rows)
 
 
+def test_landscape_cli_vmap_mesh_matches_serial(tmp_path):
+    """--points_per_batch 8 --data_axis 8 (stacked grid-point axis sharded
+    over an 8-device mesh, zero collectives) reproduces the serial sweep's
+    CSV on a tiny FFA."""
+    import subprocess
+    import sys
+
+    import cv2
+
+    from dehaze_tpu.models import get_arch
+    from dehaze_tpu.config import ModelConfig
+    from dehaze_tpu.train.checkpoint import save_checkpoint
+
+    data = tmp_path / "train"
+    (data / "gt").mkdir(parents=True)
+    (data / "hazy").mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        for sub in ("gt", "hazy"):
+            img = (rng.random((16, 16, 3)) * 255).astype(np.uint8)
+            cv2.imwrite(str(data / sub / f"{i}.png"), img)
+
+    model = get_arch(ModelConfig(arch="ffa", ffa_gps=3, ffa_blocks=1,
+                                 dtype=jnp.float32))
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 16, 16, 3), jnp.float32))
+    ckpt = str(tmp_path / "w.msgpack")
+    save_checkpoint(ckpt, 0, variables["params"])
+
+    env = {**os.environ, "JAX_PLATFORMS": "cpu",
+           "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+           "PYTHONPATH": os.path.dirname(
+               os.path.dirname(os.path.abspath(__file__)))}
+    base = [sys.executable, "-m", "dehaze_tpu.cli.landscape",
+            "--arch", "ffa", "--ffa_gps", "3", "--ffa_blocks", "1",
+            "--dtype", "float32", "--weights", ckpt,
+            "--train_dir", str(data), "--train_ps", "16",
+            "--batch_size", "2", "--n", "3", "--max_batches", "1",
+            "--no-use_mixup"]
+    outs = {}
+    for name, extra in [("serial", []),
+                        ("mesh", ["--points_per_batch", "8",
+                                  "--data_axis", "8"])]:
+        csv_path = str(tmp_path / f"{name}.csv")
+        r = subprocess.run(
+            base + extra + ["--out_csv", csv_path,
+                            "--out_plot", str(tmp_path / f"{name}.jpg")],
+            capture_output=True, text=True, timeout=560, env=env)
+        assert r.returncode == 0, r.stderr[-2000:]
+        outs[name] = {(row["x"], row["y"]): row
+                      for row in LS.load_landscape_csv(csv_path)}
+    assert len(outs["mesh"]) == len(outs["serial"]) == 9
+    for xy, rs in outs["serial"].items():
+        rv = outs["mesh"][xy]
+        for k in ("loss", "l1", "l2"):
+            np.testing.assert_allclose(rv[k], rs[k], rtol=2e-5)
+
+
 def test_plot_landscape_writes_file(tmp_path):
     rows = [{"x": x, "y": y, "l1": 0, "l2": 0, "loss": x * x + y * y}
             for x in (-1, 0, 1) for y in (-1, 0, 1)]
