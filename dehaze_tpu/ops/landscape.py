@@ -163,6 +163,17 @@ def get_loss_landscape(
     and existing (x, y) rows are skipped on restart (crash recovery ≙ #33).
     """
     bases = bases if bases is not None else create_bases(params, kws, seed)
+    # pin everything on device once and jit the perturbation: otherwise a
+    # host-resident checkpoint re-uploads the full parameter set per point
+    # (per CHUNK × P for the stacked path) — seconds each through a
+    # high-latency transport like this repo's TPU relay
+    params = jax.device_put(params)
+    bases = jax.device_put(bases)
+    perturb_j = jax.jit(perturb)
+    perturb_stacked_j = jax.jit(perturb_stacked)
+    norms_j = jax.jit(lambda p: (
+        sum(jnp.sum(jnp.abs(l)) for l in jax.tree.leaves(p)),
+        sum(jnp.linalg.norm(l.reshape(-1)) for l in jax.tree.leaves(p))))
     xs = np.linspace(-scale, scale, n)
     ys = np.linspace(-scale, scale, n)
     grid = np.stack(np.meshgrid(xs, ys), axis=0).transpose(1, 2, 0).reshape(-1, 2)
@@ -202,9 +213,10 @@ def get_loss_landscape(
     try:
         if points_per_batch <= 1:
             for x, y in pending:
-                p = perturb(params, bases, x, y)
+                p = perturb_j(params, bases, jnp.float32(x), jnp.float32(y))
                 loss = float(loss_on_dataset(p))
-                emit(x, y, param_l1(p), param_l2(p), loss, rows)
+                l1, l2 = (float(v) for v in norms_j(p))
+                emit(x, y, l1, l2, loss, rows)
         else:
             norms = jax.jit(lambda s: (param_l1_stacked(s),
                                        param_l2_stacked(s)))
@@ -215,7 +227,9 @@ def get_loss_landscape(
                 padded = chunk + [chunk[-1]] * (points_per_batch - len(chunk))
                 xs = [x for x, _ in padded]
                 ys = [y for _, y in padded]
-                p_stack = perturb_stacked(params, bases, xs, ys)
+                p_stack = perturb_stacked_j(params, bases,
+                                            jnp.asarray(xs, jnp.float32),
+                                            jnp.asarray(ys, jnp.float32))
                 losses = np.asarray(loss_on_dataset(p_stack))
                 l1s, l2s = (np.asarray(a) for a in norms(p_stack))
                 for (x, y), l1, l2, loss in zip(chunk, l1s, l2s, losses):

@@ -15,7 +15,7 @@ def test_bench_suite_ffa_modes():
     cmd = [sys.executable, "-m", "dehaze_tpu.cli.bench_suite",
            "--arch", "ffa", "--ffa_blocks", "1", "--ffa_crop", "16",
            "--train_batches", "2", "--whole_hw", "24x40",
-           "--modes", "fwd_whole,train"]
+           "--whole_batch", "2", "--modes", "fwd_whole,train"]
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     r = subprocess.run(cmd, capture_output=True, text=True, timeout=560,
                        env={**os.environ, "JAX_PLATFORMS": "cpu",
@@ -27,5 +27,6 @@ def test_bench_suite_ffa_modes():
     assert modes == {"fwd_whole", "ffa_train_step_b2"}, modes
     whole = next(row for row in rows if row["mode"] == "fwd_whole")
     assert whole["canvas"] == "native" and whole["mpix_s"] > 0
+    assert whole["batch"] == 2
     train = next(row for row in rows if row["mode"] == "ffa_train_step_b2")
     assert train["img_s"] > 0 and train["crop"] == 16
