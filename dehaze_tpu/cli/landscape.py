@@ -123,15 +123,6 @@ def main():
             loss = loss + cfg.loss.w_contrast * l_cr
         return loss
 
-    if args.points_per_batch > 1:
-        # P grid points per dispatch: vmap over the perturbed-parameter
-        # axis (data and MixUp key broadcast, so every point sees the
-        # identical eval stream — same semantics as the serial path).
-        batch_loss = jax.jit(
-            jax.vmap(batch_loss_impl, in_axes=(0, None, None, None)))
-    else:
-        batch_loss = jax.jit(batch_loss_impl)
-
     shard_stack = None
     if args.data_axis and args.data_axis > 1:
         # Landscape points are independent models: shard the stacked
@@ -164,6 +155,14 @@ def main():
         def shard_stack(p_stack, arrs):
             return (jax.device_put(p_stack, point_sh),
                     [jax.device_put(a, repl_sh) for a in arrs])
+    elif args.points_per_batch > 1:
+        # P grid points per dispatch: vmap over the perturbed-parameter
+        # axis (data and MixUp key broadcast, so every point sees the
+        # identical eval stream — same semantics as the serial path).
+        batch_loss = jax.jit(
+            jax.vmap(batch_loss_impl, in_axes=(0, None, None, None)))
+    else:
+        batch_loss = jax.jit(batch_loss_impl)
 
     folder = PairedFolder(cfg.data.train_dir)
 
@@ -181,6 +180,11 @@ def main():
             if shard_stack is not None:
                 p, (clean, hazy, sub) = shard_stack(p, [clean, hazy, sub])
             losses.append(batch_loss(p, clean, hazy, sub))
+        if not losses:
+            raise SystemExit(
+                f"no eval batches from --train_dir {cfg.data.train_dir!r} "
+                f"(empty dataset, or batch_size {cfg.data.batch_size} > "
+                f"image count)")
         # scalar path -> float; stacked path -> [P] vector
         return np.mean(np.stack([np.asarray(l) for l in losses]), axis=0)
 

@@ -125,14 +125,22 @@ def param_l2_stacked(p_stack):
                for l in leaves)
 
 
+def _param_l1_val(params):
+    return sum(jnp.sum(jnp.abs(p)) for p in jax.tree.leaves(params))
+
+
+def _param_l2_val(params):
+    return sum(jnp.linalg.norm(p.reshape(-1)) for p in jax.tree.leaves(params))
+
+
 def param_l1(params) -> float:
     """Σ ||p||_1 over leaves (`ops/norm.py:4-12`)."""
-    return float(sum(jnp.sum(jnp.abs(p)) for p in jax.tree.leaves(params)))
+    return float(_param_l1_val(params))
 
 
 def param_l2(params) -> float:
     """Σ ||p||_2 over leaves (`ops/norm.py:15-21` — sum of per-tensor norms)."""
-    return float(sum(jnp.linalg.norm(p.reshape(-1)) for p in jax.tree.leaves(params)))
+    return float(_param_l2_val(params))
 
 
 def get_loss_landscape(
@@ -157,7 +165,9 @@ def get_loss_landscape(
     With points_per_batch=P > 1, P grid points are evaluated per dispatch:
     loss_on_dataset receives a `perturb_stacked` tree (leading [P] axis on
     every leaf) and must return a length-P loss vector — the CLI builds it
-    with jax.vmap over the parameter axis. The final chunk may be shorter.
+    with jax.vmap over the parameter axis. Every dispatch sees exactly P
+    points (the final chunk is padded by repeating its last point; padded
+    results are discarded).
 
     Rows: {x, y, l1, l2, loss}. With csv_path, each point appends immediately
     and existing (x, y) rows are skipped on restart (crash recovery ≙ #33).
@@ -171,9 +181,7 @@ def get_loss_landscape(
     bases = jax.device_put(bases)
     perturb_j = jax.jit(perturb)
     perturb_stacked_j = jax.jit(perturb_stacked)
-    norms_j = jax.jit(lambda p: (
-        sum(jnp.sum(jnp.abs(l)) for l in jax.tree.leaves(p)),
-        sum(jnp.linalg.norm(l.reshape(-1)) for l in jax.tree.leaves(p))))
+    norms_j = jax.jit(lambda p: (_param_l1_val(p), _param_l2_val(p)))
     xs = np.linspace(-scale, scale, n)
     ys = np.linspace(-scale, scale, n)
     grid = np.stack(np.meshgrid(xs, ys), axis=0).transpose(1, 2, 0).reshape(-1, 2)
@@ -187,9 +195,15 @@ def get_loss_landscape(
             with open(csv_path) as f:
                 for row in csv.DictReader(f):
                     done.add((float(row["x"]), float(row["y"])))
+        # write the header only if the file is genuinely headerless — a
+        # run killed after the header but before the first row must not
+        # append a second header on resume (it would break every later
+        # DictReader parse)
+        has_header = (os.path.exists(csv_path)
+                      and os.path.getsize(csv_path) > 0)
         fh = open(csv_path, "a", newline="")
         writer = csv.writer(fh)
-        if not done:
+        if not has_header:
             writer.writerow(["x", "y", "l1", "l2", "loss"])
             fh.flush()
 
@@ -225,11 +239,11 @@ def get_loss_landscape(
                 # pad the final chunk to a full P so every dispatch reuses
                 # the one compiled program (relay compiles are minutes here)
                 padded = chunk + [chunk[-1]] * (points_per_batch - len(chunk))
-                xs = [x for x, _ in padded]
-                ys = [y for _, y in padded]
+                cxs = [x for x, _ in padded]
+                cys = [y for _, y in padded]
                 p_stack = perturb_stacked_j(params, bases,
-                                            jnp.asarray(xs, jnp.float32),
-                                            jnp.asarray(ys, jnp.float32))
+                                            jnp.asarray(cxs, jnp.float32),
+                                            jnp.asarray(cys, jnp.float32))
                 losses = np.asarray(loss_on_dataset(p_stack))
                 l1s, l2s = (np.asarray(a) for a in norms(p_stack))
                 for (x, y), l1, l2, loss in zip(chunk, l1s, l2s, losses):

@@ -110,6 +110,27 @@ def test_perturb_stacked_matches_perturb():
                                        rtol=1e-6)
 
 
+def test_resume_after_header_only_crash(tmp_path):
+    """A run killed after writing the CSV header but before any row must
+    not append a second header on resume (it would break every later
+    DictReader parse)."""
+    p = _params()
+
+    def loss_fn(params):
+        return float(sum(jnp.sum(jnp.square(x))
+                         for x in jax.tree.leaves(params)))
+
+    csv_path = str(tmp_path / "ls.csv")
+    with open(csv_path, "w") as f:
+        f.write("x,y,l1,l2,loss\n")  # crash-after-header state
+    rows = LS.get_loss_landscape(p, loss_fn, n=3, scale=0.5, seed=0,
+                                 csv_path=csv_path)
+    assert len(rows) == 9
+    lines = open(csv_path).read().splitlines()
+    assert lines.count("x,y,l1,l2,loss") == 1
+    assert len(LS.load_landscape_csv(csv_path)) == 9
+
+
 def test_trajectory_math():
     init = {"w": jnp.asarray([1.0, 0.0])}
     best = {"w": jnp.asarray([0.0, 0.0])}
