@@ -98,3 +98,71 @@ def make_halo_sharded_frame_fn(
 
     call.jitted = run  # expose for .lower() introspection (ICI volume audit)
     return call
+
+
+def make_halo_sharded_anyres_fn(
+    cfg: ModelConfig,
+    variables,
+    mesh: Mesh,
+    h: int,
+    w: int,
+    factor: int | None = None,
+    axis: str = "data",
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Any-resolution inference (expand2square + pad mask,
+    `test_in_any_resolution.py:67-109`) with the canvas row-banded over the
+    mesh. The GLOBAL padding mask replicates into the shard_map and each
+    band slices its rows per stage (models/uformer.py band mask path).
+
+    Alignment: canvas rows pad up to a multiple of band_unit·n_dev with
+    MASKED zero rows (appended below the centered image). When the square
+    canvas X already divides (X % (band_unit·n_dev) == 0) the banded output
+    equals the single-device `infer.anyres` forward exactly; otherwise the
+    taller canvas is a valid any-resolution forward whose boundary-local
+    content differs from the X-canvas protocol (same caveat as the
+    whole-image runner's alignment pad).
+    """
+    import math
+
+    n_dev = int(mesh.shape[axis])
+    factor = factor or band_unit(cfg)
+    unit = band_unit(cfg) * n_dev
+    X = int(math.ceil(max(h, w) / float(factor)) * factor)
+    Xp = -(-X // unit) * unit
+    r0, c0 = (X - h) // 2, (X - w) // 2
+
+    banded_cfg = replace(cfg, band_axis=axis)
+    model = get_arch(banded_cfg)
+    key = jax.random.PRNGKey(0)
+
+    pad = np.ones((1, Xp, X, 1), np.float32)
+    pad[:, r0:r0 + h, c0:c0 + w, :] = 0.0  # 1 on PADDING (ref passes 1-mask)
+    pad = jnp.asarray(pad)
+
+    def banded_apply(v, canvas, mask):  # runs per-band inside shard_map
+        return model.apply(v, canvas, train=False, pad_mask=mask,
+                           rngs={"sample": key})
+
+    sharded = shard_map(
+        banded_apply,
+        mesh=mesh,
+        in_specs=(P(), P(None, axis, None, None), P()),
+        out_specs=P(None, axis, None, None),
+        check_rep=False,
+    )
+
+    @jax.jit
+    def run(img):
+        B, C = img.shape[0], img.shape[-1]
+        canvas = jnp.zeros((B, Xp, X, C), img.dtype)
+        canvas = canvas.at[:, r0:r0 + h, c0:c0 + w, :].set(img)
+        out = sharded(variables, canvas, pad)
+        return jnp.clip(out[:, r0:r0 + h, c0:c0 + w, :], 0.0, 1.0)
+
+    def call(img_host):
+        img = jnp.asarray(img_host)
+        img = jax.device_put(img, NamedSharding(mesh, P()))
+        return run(img)
+
+    call.jitted = run
+    return call

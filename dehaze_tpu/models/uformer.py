@@ -291,10 +291,6 @@ class LeWinBlock(nn.Module):
 
         pad_flag = None
         if pad_mask is not None:
-            if self.band_axis is not None:
-                raise NotImplementedError(
-                    "any-resolution pad masks are not supported under "
-                    "row-band sharding (use infer.anyres single-device)")
             # input-mask path (`My_model_1.py:791-798` / test_in_any_resolution):
             # nearest-resize the full-res padding mask to this stage and window
             # it. Quirks preserved: the mask is NOT cyclically shifted even for
@@ -304,11 +300,28 @@ class LeWinBlock(nn.Module):
             # centers, which picks different rows and shifts the mask border
             # (oracle-caught: 2.5e-3 output diffs on 10% of pixels).
             hin, win_in = pad_mask.shape[1], pad_mask.shape[2]
-            idx_h = np.minimum((np.arange(H) * (hin / H)).astype(np.int32),
-                               hin - 1)
-            idx_w = np.minimum((np.arange(W) * (win_in / W)).astype(np.int32),
-                               win_in - 1)
-            pm = pad_mask[:, idx_h][:, :, idx_w]
+            if self.band_axis is not None:
+                # row-band sharding: pad_mask is the GLOBAL full-res mask
+                # (replicated into the shard_map); resize it to the stage's
+                # GLOBAL height (H here is the LOCAL band height), then take
+                # this band's rows — same slicing pattern as the region ids
+                n_bands = jax.lax.axis_size(self.band_axis)
+                Hg = H * n_bands
+                idx_h = np.minimum(
+                    (np.arange(Hg) * (hin / Hg)).astype(np.int32), hin - 1)
+                idx_w = np.minimum(
+                    (np.arange(W) * (win_in / W)).astype(np.int32),
+                    win_in - 1)
+                pm_g = pad_mask[:, idx_h][:, :, idx_w]
+                d = jax.lax.axis_index(self.band_axis)
+                pm = jax.lax.dynamic_slice_in_dim(pm_g, d * H, H, axis=1)
+            else:
+                idx_h = np.minimum(
+                    (np.arange(H) * (hin / H)).astype(np.int32), hin - 1)
+                idx_w = np.minimum(
+                    (np.arange(W) * (win_in / W)).astype(np.int32),
+                    win_in - 1)
+                pm = pad_mask[:, idx_h][:, :, idx_w]
             pad_flag = win_ops.window_partition(pm, win)[..., 0]  # [nW, N]
 
         windows = win_ops.window_partition(y, win)  # [B*nW, N, C]

@@ -51,6 +51,51 @@ def test_halo_banded_equals_single_device(n_dev):
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("n_dev", [2, 4])
+def test_halo_banded_anyres_equals_single_device(n_dev):
+    """Any-resolution (expand2square + pad mask) under row-band sharding
+    must equal the single-device infer.anyres forward exactly when the
+    square canvas divides the band unit."""
+    from dehaze_tpu.infer.anyres import make_anyres_fn
+    from dehaze_tpu.infer.halo_sharded import make_halo_sharded_anyres_fn
+
+    cfg, model, variables = _model_and_vars()
+    key = jax.random.PRNGKey(0)
+
+    # non-square, non-multiple sizes -> X = 256 (n_dev=2) / 512 (n_dev=4),
+    # both multiples of band_unit*n_dev = 128*n_dev (no alignment pad)
+    h, w = {2: (250, 200), 4: (500, 400)}[n_dev]
+    img = np.random.default_rng(3).uniform(size=(1, h, w, 3)).astype(np.float32)
+
+    def apply_fn(x, mask):
+        return model.apply(variables, x, train=False, pad_mask=mask,
+                           rngs={"sample": key})
+
+    ref = np.asarray(make_anyres_fn(apply_fn, h, w, factor=128)(
+        jnp.asarray(img)))
+
+    mesh = make_mesh(n_dev)
+    run = make_halo_sharded_anyres_fn(cfg, variables, mesh, h, w, factor=128)
+    got = np.asarray(run(img))
+    assert got.shape == ref.shape == (1, h, w, 3)
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_halo_banded_anyres_alignment_pad_runs():
+    """When X does not divide band_unit*n_dev the canvas pads with masked
+    rows — a valid (documented-deviation) anyres forward; must run and
+    return finite output of the right shape."""
+    from dehaze_tpu.infer.halo_sharded import make_halo_sharded_anyres_fn
+
+    cfg, model, variables = _model_and_vars()
+    h, w = 250, 200  # X=256, not a multiple of 128*4 -> Xp=512
+    img = np.random.default_rng(4).uniform(size=(1, h, w, 3)).astype(np.float32)
+    run = make_halo_sharded_anyres_fn(cfg, variables, make_mesh(4), h, w,
+                                      factor=128)
+    got = np.asarray(run(img))
+    assert got.shape == (1, h, w, 3) and np.isfinite(got).all()
+
+
 def test_halo_rows_and_roll_primitives():
     """halo_rows edge zeros == SAME padding; roll_rows == global jnp.roll."""
     from jax.experimental.shard_map import shard_map
