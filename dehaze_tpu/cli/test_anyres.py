@@ -26,6 +26,10 @@ def main():
     p.add_argument("--weights", required=True)
     p.add_argument("--result_dir", default="./results/anyres")
     p.add_argument("--save_images", action="store_true", default=True)
+    p.add_argument("--bands", type=int, default=0,
+                   help="shard each frame's canvas rows over an N-chip mesh "
+                        "with halo exchange (infer.halo_sharded); 0/1 = "
+                        "single device")
     args = p.parse_args()
     cfg = config_from_args(args)
     if cfg.model.arch != "uformer":
@@ -47,13 +51,25 @@ def main():
                            rngs={"sample": key})
 
     factor = cfg.model.win_size * 16
+    mesh = None
+    if args.bands and args.bands > 1:
+        from dehaze_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.bands)
     os.makedirs(args.result_dir, exist_ok=True)
     run, geom = None, None
     psnrs, ssims = [], []
     for clean, hazy, name in val_images(PairedFolder(args.input_dir)):
         h, w = hazy.shape[:2]
         if geom != (h, w):
-            run = make_anyres_fn(apply_fn, h, w, factor)
+            if mesh is not None:
+                from dehaze_tpu.infer.halo_sharded import (
+                    make_halo_sharded_anyres_fn)
+
+                run = make_halo_sharded_anyres_fn(
+                    cfg.model, variables, mesh, h, w, factor=factor)
+            else:
+                run = make_anyres_fn(apply_fn, h, w, factor)
             geom = (h, w)
         out = np.asarray(run(jnp.asarray(hazy)[None])[0])
         psnr = float(M.psnr(jnp.asarray(out), jnp.asarray(clean)))

@@ -32,6 +32,10 @@ def main():
                         "LxL canvas: same crop semantics, -23%% compute on "
                         "1200x1600 (default: square, exact reference "
                         "protocol)")
+    p.add_argument("--bands", type=int, default=0,
+                   help="Uformer only: shard each frame's canvas rows over "
+                        "an N-chip mesh with halo exchange "
+                        "(infer.halo_sharded); 0/1 = single device")
     p.add_argument("--ssim_data_range", type=float, default=2.0,
                    help="2.0 replicates skimage's float default used for the "
                         "published numbers; 1.0 is physically correct")
@@ -92,13 +96,30 @@ def main():
     # 49-60; fully convolutional) — one shape-polymorphic jitted fn. Other
     # archs build a canvas fn per geometry.
     run = make_native_image_fn(apply_fn) if is_ffa else None
+    mesh = None
+    if args.bands and args.bands > 1:
+        if cfg.model.arch != "uformer":
+            raise SystemExit("--bands: halo-banded inference exists only "
+                             "for the Uformer (row-band hooks live in that "
+                             "model)")
+        from dehaze_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.bands)
     geom = None
     psnrs, ssims = [], []
     for clean, hazy, name in val_images(folder):
         h, w = hazy.shape[:2]
         if not is_ffa and geom != (h, w):
-            run = make_whole_image_fn(apply_fn, h, w, args.train_ps,
-                                      square=not args.rect_canvas)
+            if mesh is not None:
+                from dehaze_tpu.infer.halo_sharded import (
+                    make_halo_sharded_frame_fn)
+
+                run = make_halo_sharded_frame_fn(
+                    cfg.model, variables, mesh, h, w, ps=args.train_ps,
+                    square=not args.rect_canvas)
+            else:
+                run = make_whole_image_fn(apply_fn, h, w, args.train_ps,
+                                          square=not args.rect_canvas)
             geom = (h, w)
         out = np.asarray(run(jnp.asarray(hazy)[None])[0])
         psnr = float(M.psnr(jnp.asarray(out), jnp.asarray(clean)))
