@@ -105,23 +105,24 @@ def main():
         from dehaze_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(args.bands)
-    geom = None
-    psnrs, ssims = [], []
-    for clean, hazy, name in val_images(folder):
-        h, w = hazy.shape[:2]
-        if not is_ffa and geom != (h, w):
-            if mesh is not None:
-                from dehaze_tpu.infer.halo_sharded import (
-                    make_halo_sharded_frame_fn)
+    dp_mesh = None
+    if args.data_axis and args.data_axis > 1:
+        # frame-parallel eval: batches of N same-geometry frames shard one
+        # frame per chip (infer.sharded — zero collectives); the tail batch
+        # pads by repeating its last frame (extras dropped)
+        if mesh is not None:
+            raise SystemExit("--bands and --data_axis are mutually "
+                             "exclusive (rows-per-frame vs frames-per-chip)")
+        if args.rect_canvas:
+            raise SystemExit("--data_axis uses the square published-protocol "
+                             "canvas (infer.sharded); drop --rect_canvas")
+        from dehaze_tpu.parallel.mesh import make_mesh
 
-                run = make_halo_sharded_frame_fn(
-                    cfg.model, variables, mesh, h, w, ps=args.train_ps,
-                    square=not args.rect_canvas)
-            else:
-                run = make_whole_image_fn(apply_fn, h, w, args.train_ps,
-                                          square=not args.rect_canvas)
-            geom = (h, w)
-        out = np.asarray(run(jnp.asarray(hazy)[None])[0])
+        dp_mesh = make_mesh(args.data_axis)
+
+    psnrs, ssims = [], []
+
+    def report(out, clean, name):
         psnr = float(M.psnr(jnp.asarray(out), jnp.asarray(clean)))
         ssim = float(M.ssim(jnp.asarray(out), jnp.asarray(clean),
                             data_range=args.ssim_data_range))
@@ -130,6 +131,50 @@ def main():
         print(f"{name}: PSNR {psnr:.4f} SSIM {ssim:.4f}", flush=True)
         if args.save_images:
             save_img(os.path.join(args.result_dir, name), out)
+
+    if dp_mesh is not None:
+        from dehaze_tpu.infer.sharded import make_sharded_whole_image_fn
+
+        n = args.data_axis
+        runs, groups = {}, {}
+        def flush(geom):
+            cleans, hazys, names = groups.pop(geom)
+            k = len(hazys)
+            batch = np.stack(hazys + [hazys[-1]] * (n - k))
+            outs = np.asarray(runs[geom](batch))
+            for out, clean, name in zip(outs[:k], cleans, names):
+                report(out, clean, name)
+
+        for clean, hazy, name in val_images(folder):
+            geom = hazy.shape[:2]
+            if geom not in runs:
+                runs[geom] = make_sharded_whole_image_fn(
+                    apply_fn, dp_mesh, geom[0], geom[1], ps=args.train_ps,
+                    native=is_ffa)
+                groups[geom] = ([], [], [])
+            g = groups.setdefault(geom, ([], [], []))
+            g[0].append(clean), g[1].append(hazy), g[2].append(name)
+            if len(g[1]) == n:
+                flush(geom)
+        for geom in list(groups):
+            flush(geom)
+    else:
+        geom = None
+        for clean, hazy, name in val_images(folder):
+            h, w = hazy.shape[:2]
+            if not is_ffa and geom != (h, w):
+                if mesh is not None:
+                    from dehaze_tpu.infer.halo_sharded import (
+                        make_halo_sharded_frame_fn)
+
+                    run = make_halo_sharded_frame_fn(
+                        cfg.model, variables, mesh, h, w, ps=args.train_ps,
+                        square=not args.rect_canvas)
+                else:
+                    run = make_whole_image_fn(apply_fn, h, w, args.train_ps,
+                                              square=not args.rect_canvas)
+                geom = (h, w)
+            report(np.asarray(run(jnp.asarray(hazy)[None])[0]), clean, name)
 
     print(f"PSNR: {np.mean(psnrs):.6f}, SSIM: {np.mean(ssims):.6f}")
 
