@@ -98,13 +98,28 @@ def main():
     run = make_native_image_fn(apply_fn) if is_ffa else None
     mesh = None
     if args.bands and args.bands > 1:
-        if cfg.model.arch != "uformer":
-            raise SystemExit("--bands: halo-banded inference exists only "
-                             "for the Uformer (row-band hooks live in that "
-                             "model)")
+        if cfg.model.arch not in ("uformer", "ffa"):
+            raise SystemExit("--bands: halo-banded inference exists for the "
+                             "Uformer (row-band hooks in the model) and FFA "
+                             "(halo convs + pmean pools)")
         from dehaze_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(args.bands)
+        if is_ffa:
+            # banded FFA native protocol: normalize on the host side (the
+            # banded runner owns model.apply), rows must divide the bands
+            from dehaze_tpu.infer.halo_sharded import (
+                make_halo_sharded_native_fn)
+
+            banded_native = make_halo_sharded_native_fn(
+                cfg.model, variables, mesh)
+
+            def run(x):
+                if args.ffa_normalize:
+                    from dehaze_tpu.train.ffa_trainer import normalize_hazy
+
+                    x = normalize_hazy(x)
+                return banded_native(x)
     dp_mesh = None
     if args.data_axis and args.data_axis > 1:
         # frame-parallel eval: batches of N same-geometry frames shard one

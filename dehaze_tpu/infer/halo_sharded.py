@@ -100,6 +100,55 @@ def make_halo_sharded_frame_fn(
     return call
 
 
+def make_halo_sharded_native_fn(
+    cfg: ModelConfig,
+    variables,
+    mesh: Mesh,
+    axis: str = "data",
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Raw-resolution (no-canvas) forward with the frame's ROWS banded over
+    the mesh — the FFA eval protocol (`FFA_model/test.py:49-60`) for one
+    huge frame across chips. FFA's 3x3 convs take 1-row halos from neighbor
+    bands and its global pools (CA layers + fusion) pmean over the axis, so
+    banded == single-device exactly.
+
+    Requires H % n_devices == 0 (equal bands keep the global means exact;
+    the headline 1200-row frame divides 2/4/8). Shape-polymorphic: retraces
+    per input geometry like `make_native_image_fn`.
+    """
+    n_dev = int(mesh.shape[axis])
+    banded_cfg = replace(cfg, band_axis=axis)
+    model = get_arch(banded_cfg)
+
+    def banded_apply(v, x):  # runs per-band inside shard_map
+        return model.apply(v, x, train=False)
+
+    sharded = shard_map(
+        banded_apply,
+        mesh=mesh,
+        in_specs=(P(), P(None, axis, None, None)),
+        out_specs=P(None, axis, None, None),
+        check_rep=False,
+    )
+
+    @jax.jit
+    def run(img):
+        return jnp.clip(sharded(variables, img), 0.0, 1.0)
+
+    def call(img_host):
+        img = jnp.asarray(img_host)
+        if img.shape[1] % n_dev:
+            raise ValueError(
+                f"native banded inference needs rows % n_devices == 0 "
+                f"(got {img.shape[1]} rows over {n_dev} bands — unequal "
+                f"bands would skew the FFA global-mean pools)")
+        img = jax.device_put(img, NamedSharding(mesh, P()))
+        return run(img)
+
+    call.jitted = run
+    return call
+
+
 def make_halo_sharded_anyres_fn(
     cfg: ModelConfig,
     variables,

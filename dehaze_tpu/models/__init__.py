@@ -32,7 +32,7 @@ def get_arch(cfg: ModelConfig):
         from dehaze_tpu.models.ffa import FFA
 
         return FFA(gps=cfg.ffa_gps, blocks=cfg.ffa_blocks, dim=cfg.ffa_dim,
-                   dtype=cfg.dtype)
+                   dtype=cfg.dtype, band_axis=cfg.band_axis)
     if cfg.arch == "unet":
         from dehaze_tpu.models.unet import UNet
 

@@ -9,6 +9,8 @@ NHWC throughout.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 
 import flax.linen as nn
@@ -34,11 +36,36 @@ def _torch_bias_init(fan_in: int):
     return init
 
 
-def _conv(features: int, ksize: int, in_feats: int, dtype, name: str):
-    return nn.Conv(features, (ksize, ksize), padding="SAME", dtype=dtype,
+def _conv(features: int, ksize: int, in_feats: int, dtype, name: str,
+          padding="SAME"):
+    return nn.Conv(features, (ksize, ksize), padding=padding, dtype=dtype,
                    kernel_init=_torch_kernel_init,
                    bias_init=_torch_bias_init(ksize * ksize * in_feats),
                    name=name)
+
+
+def _conv3_banded(x, features: int, in_feats: int, dtype, name: str,
+                  band_axis: Optional[str], module=None):
+    """3x3 SAME conv; under row-band sharding the row padding comes from
+    neighbor bands (1-row halo, parallel/halo.py) and the conv runs VALID
+    on rows — bit-identical to the single-device SAME conv."""
+    if band_axis is None:
+        return _conv(features, 3, in_feats, dtype, name)(x)
+    from dehaze_tpu.parallel.halo import halo_rows
+
+    xh = halo_rows(x, 1, 1, band_axis)
+    return _conv(features, 3, in_feats, dtype, name,
+                 padding=((0, 0), (1, 1)))(xh)
+
+
+def _gmean(x, band_axis: Optional[str]):
+    """Global [B,1,1,C] mean; under banding the per-band mean pmean-reduces
+    over the axis (exact when bands have equal heights — the runner enforces
+    divisibility)."""
+    y = jnp.mean(x, axis=(1, 2), keepdims=True)
+    if band_axis is not None:
+        y = jax.lax.pmean(y, band_axis)
+    return y
 
 
 class PALayer(nn.Module):
@@ -60,10 +87,11 @@ class CALayer(nn.Module):
 
     channel: int
     dtype: jnp.dtype = jnp.float32
+    band_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
-        y = jnp.mean(x, axis=(1, 2), keepdims=True)  # global avg pool
+        y = _gmean(x, self.band_axis)  # global avg pool
         y = _conv(self.channel // 8, 1, self.channel, self.dtype, "conv1")(y)
         y = nn.relu(y)
         y = _conv(self.channel, 1, self.channel // 8, self.dtype, "conv2")(y)
@@ -75,13 +103,17 @@ class Block(nn.Module):
 
     dim: int
     dtype: jnp.dtype = jnp.float32
+    band_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
-        res = nn.relu(_conv(self.dim, 3, self.dim, self.dtype, "conv1")(x))
+        res = nn.relu(_conv3_banded(x, self.dim, self.dim, self.dtype,
+                                    "conv1", self.band_axis, self))
         res = res + x
-        res = _conv(self.dim, 3, self.dim, self.dtype, "conv2")(res)
-        res = CALayer(self.dim, dtype=self.dtype, name="calayer")(res)
+        res = _conv3_banded(res, self.dim, self.dim, self.dtype, "conv2",
+                            self.band_axis, self)
+        res = CALayer(self.dim, dtype=self.dtype, band_axis=self.band_axis,
+                      name="calayer")(res)
         res = PALayer(self.dim, dtype=self.dtype, name="palayer")(res)
         return res + x
 
@@ -92,13 +124,16 @@ class Group(nn.Module):
     dim: int
     blocks: int
     dtype: jnp.dtype = jnp.float32
+    band_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
         res = x
         for i in range(self.blocks):
-            res = Block(self.dim, dtype=self.dtype, name=f"block_{i}")(res)
-        res = _conv(self.dim, 3, self.dim, self.dtype, "conv")(res)
+            res = Block(self.dim, dtype=self.dtype,
+                        band_axis=self.band_axis, name=f"block_{i}")(res)
+        res = _conv3_banded(res, self.dim, self.dim, self.dtype, "conv",
+                            self.band_axis, self)
         return res + x
 
 
@@ -109,15 +144,20 @@ class FFA(nn.Module):
     blocks: int = 19
     dim: int = 64
     dtype: jnp.dtype = jnp.float32
+    band_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x1, train: bool = False):
         assert self.gps == 3
+        ba = self.band_axis
         inp = x1.astype(self.dtype)
-        x = _conv(self.dim, 3, 3, self.dtype, "pre")(inp)
-        res1 = Group(self.dim, self.blocks, dtype=self.dtype, name="g1")(x)
-        res2 = Group(self.dim, self.blocks, dtype=self.dtype, name="g2")(res1)
-        res3 = Group(self.dim, self.blocks, dtype=self.dtype, name="g3")(res2)
+        x = _conv3_banded(inp, self.dim, 3, self.dtype, "pre", ba, self)
+        res1 = Group(self.dim, self.blocks, dtype=self.dtype, band_axis=ba,
+                     name="g1")(x)
+        res2 = Group(self.dim, self.blocks, dtype=self.dtype, band_axis=ba,
+                     name="g2")(res1)
+        res3 = Group(self.dim, self.blocks, dtype=self.dtype, band_axis=ba,
+                     name="g3")(res2)
         # Reference pools the 3*dim concat THEN convolves (FFA.py:84-90,105).
         # mean(concat(...)) == concat(per-tensor means): pool each group
         # output and concatenate the [B,1,1,dim] vectors — identical math,
@@ -125,8 +165,7 @@ class FFA(nn.Module):
         # the 1664² canvas; measured as layout-transpose fusions in the TPU
         # profile).
         w = jnp.concatenate(
-            [jnp.mean(r, axis=(1, 2), keepdims=True) for r in (res1, res2, res3)],
-            axis=-1)
+            [_gmean(r, ba) for r in (res1, res2, res3)], axis=-1)
         w = _conv(self.dim // 16, 1, self.dim * self.gps, self.dtype,
                   "ca_conv1")(w)
         w = nn.relu(w)
@@ -138,6 +177,7 @@ class FFA(nn.Module):
             w[..., 0, :] * res1 + w[..., 1, :] * res2 + w[..., 2, :] * res3
         )
         out = PALayer(self.dim, dtype=self.dtype, name="palayer")(out)
-        out = _conv(self.dim, 3, self.dim, self.dtype, "post1")(out)
-        out = _conv(3, 3, self.dim, self.dtype, "post2")(out)
+        out = _conv3_banded(out, self.dim, self.dim, self.dtype, "post1",
+                            ba, self)
+        out = _conv3_banded(out, 3, self.dim, self.dtype, "post2", ba, self)
         return (x1 + out.astype(jnp.float32)).astype(jnp.float32)

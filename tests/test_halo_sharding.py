@@ -96,6 +96,37 @@ def test_halo_banded_anyres_alignment_pad_runs():
     assert got.shape == (1, h, w, 3) and np.isfinite(got).all()
 
 
+@pytest.mark.parametrize("n_dev", [2, 4])
+def test_halo_banded_ffa_native_equals_single_device(n_dev):
+    """FFA native-protocol (no canvas) forward under row-band sharding:
+    3x3 convs take 1-row halos, global pools (CA + fusion) pmean over the
+    axis — must equal the single-device forward."""
+    from dehaze_tpu.config import ModelConfig
+    from dehaze_tpu.infer.halo_sharded import make_halo_sharded_native_fn
+    from dehaze_tpu.infer.tiled import make_native_image_fn
+    from dehaze_tpu.models import get_arch
+
+    cfg = ModelConfig(arch="ffa", ffa_gps=3, ffa_blocks=2, ffa_dim=16,
+                      dtype=jnp.float32)
+    model = get_arch(cfg)
+    variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0),
+                                           jnp.zeros((1, 16, 16, 3))))()
+
+    h, w = 24, 40  # h divides 2 and 4
+    img = np.random.default_rng(5).uniform(size=(1, h, w, 3)).astype(np.float32)
+    ref = np.asarray(make_native_image_fn(
+        lambda x: model.apply(variables, x))(jnp.asarray(img)))
+
+    run = make_halo_sharded_native_fn(cfg, variables, make_mesh(n_dev))
+    got = np.asarray(run(img))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+    with pytest.raises(ValueError):  # 25 rows over 4 bands -> unequal
+        make_halo_sharded_native_fn(cfg, variables, make_mesh(4))(
+            np.zeros((1, 25, 40, 3), np.float32))
+
+
 def test_halo_rows_and_roll_primitives():
     """halo_rows edge zeros == SAME padding; roll_rows == global jnp.roll."""
     from jax.experimental.shard_map import shard_map
