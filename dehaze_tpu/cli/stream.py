@@ -67,11 +67,20 @@ def main():
     frames = [(os.path.join(src, n), os.path.join(args.result_dir, n))
               for n in names]
 
+    mesh = None
+    if args.data_axis and args.data_axis > 1:
+        # throughput-mode serving: batches of N same-geometry frames, one
+        # frame per chip (infer.sharded)
+        from dehaze_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.data_axis)
+
     stats = stream_dehaze(apply_fn, frames, ps=args.train_ps,
-                          square=args.square, native=is_ffa)
+                          square=args.square, native=is_ffa, mesh=mesh)
     canvas = "native" if is_ffa else ("square" if args.square else "rect")
+    chips = f", {args.data_axis} chips" if mesh is not None else ""
     print(f"{stats['frames']} frames in {stats['sec']:.2f}s = "
-          f"{stats['mpix_s']:.3f} Mpix/s sustained ({canvas} canvas)")
+          f"{stats['mpix_s']:.3f} Mpix/s sustained ({canvas} canvas{chips})")
 
 
 if __name__ == "__main__":

@@ -36,6 +36,8 @@ def stream_dehaze(
     encode_workers: int = 2,
     load_fn: Optional[Callable[[str], np.ndarray]] = None,
     save_fn: Optional[Callable[[str, np.ndarray], None]] = None,
+    mesh=None,
+    mesh_axis: str = "data",
 ) -> Dict[str, float]:
     """Dehaze a stream of frames with decode/compute/encode overlap.
 
@@ -47,6 +49,10 @@ def stream_dehaze(
     for the reference's exact square protocol). `native=True` skips the
     canvas entirely — the FFA protocol (fully-convolutional nets only,
     `FFA_model/test.py:49-60`).
+
+    With `mesh`, batches of N same-geometry frames dispatch one frame per
+    chip (infer.sharded, zero collectives) — the v5e-8 throughput-mode
+    serving path; tail batches pad by repeating their last frame.
     """
     if load_fn is None:
         from dehaze_tpu.data.images import load_img as load_fn
@@ -56,6 +62,10 @@ def stream_dehaze(
     frames = list(frames)
     if not frames:
         return {"frames": 0, "mpix_s": 0.0, "sec": 0.0}
+    if mesh is not None:
+        return _stream_dehaze_mesh(
+            apply_fn, frames, ps, square, native, decode_workers,
+            encode_workers, load_fn, save_fn, mesh, mesh_axis)
 
     runs: Dict[Tuple[int, int], Callable] = {}
 
@@ -110,6 +120,76 @@ def stream_dehaze(
         for done, path in pending:
             arr = np.asarray(done[0])
             enc_futs.append(enc.submit(save_fn, path, arr))
+        for f in enc_futs:
+            f.result()
+        dt = time.perf_counter() - t0
+    return {"frames": n, "mpix_s": total_pix / 1e6 / dt, "sec": dt}
+
+
+def _stream_dehaze_mesh(apply_fn, frames, ps, square, native,
+                        decode_workers, encode_workers, load_fn, save_fn,
+                        mesh, axis) -> Dict[str, float]:
+    """Mesh throughput mode: same bounded decode/encode pipelines, but
+    frames group into batches of mesh-axis-size and each batch shards one
+    frame per chip (infer.sharded, out_u8 on-device quantization)."""
+    from collections import deque
+
+    from dehaze_tpu.infer.sharded import make_sharded_whole_image_fn
+
+    nper = int(mesh.shape[axis])
+    runs: Dict[Tuple[int, int], Callable] = {}
+
+    def get_run(h: int, w: int):
+        if (h, w) not in runs:
+            runs[(h, w)] = make_sharded_whole_image_fn(
+                apply_fn, mesh, h, w, ps=ps, axis=axis, native=native,
+                square=square, out_u8=True)
+        return runs[(h, w)]
+
+    total_pix = 0
+    n = 0
+    lookahead = decode_workers + 2
+    with cf.ThreadPoolExecutor(decode_workers) as dec, \
+            cf.ThreadPoolExecutor(encode_workers) as enc:
+        decoded: deque = deque(
+            dec.submit(load_fn, p) for p, _ in frames[:lookahead])
+        next_submit = lookahead
+        buf: Dict[Tuple[int, int], list] = {}  # geom -> [(img, out_path)]
+        pending: list = []  # (device_out, [out_paths])
+        enc_futs = []
+
+        def dispatch(geom):
+            items = buf.pop(geom)
+            k = len(items)
+            batch = np.stack([im for im, _ in items]
+                             + [items[-1][0]] * (nper - k))
+            out = get_run(*geom)(batch)  # async sharded dispatch
+            pending.append((out, [p for _, p in items]))
+
+        def drain(limit):
+            while len(pending) > limit:
+                done, paths = pending.pop(0)
+                arrs = np.asarray(done)  # blocks on that batch only
+                for arr, path in zip(arrs, paths):
+                    enc_futs.append(enc.submit(save_fn, path, arr))
+
+        t0 = time.perf_counter()
+        for in_path, out_path in frames:
+            fut = decoded.popleft()
+            if next_submit < len(frames):
+                decoded.append(dec.submit(load_fn, frames[next_submit][0]))
+                next_submit += 1
+            img = fut.result()
+            geom = img.shape[:2]
+            buf.setdefault(geom, []).append((img, out_path))
+            total_pix += geom[0] * geom[1]
+            n += 1
+            if len(buf[geom]) == nper:
+                dispatch(geom)
+                drain(1)
+        for geom in list(buf):
+            dispatch(geom)
+        drain(0)
         for f in enc_futs:
             f.result()
         dt = time.perf_counter() - t0
