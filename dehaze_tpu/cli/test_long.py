@@ -33,9 +33,9 @@ def main():
                         "1200x1600 (default: square, exact reference "
                         "protocol)")
     p.add_argument("--bands", type=int, default=0,
-                   help="Uformer only: shard each frame's canvas rows over "
-                        "an N-chip mesh with halo exchange "
-                        "(infer.halo_sharded); 0/1 = single device")
+                   help="shard each frame's canvas rows over an N-chip mesh "
+                        "with halo exchange (Uformer canvas protocol or FFA "
+                        "native, infer.halo_sharded); 0/1 = single device")
     p.add_argument("--ssim_data_range", type=float, default=2.0,
                    help="2.0 replicates skimage's float default used for the "
                         "published numbers; 1.0 is physically correct")
@@ -166,7 +166,6 @@ def main():
                 runs[geom] = make_sharded_whole_image_fn(
                     apply_fn, dp_mesh, geom[0], geom[1], ps=args.train_ps,
                     native=is_ffa)
-                groups[geom] = ([], [], [])
             g = groups.setdefault(geom, ([], [], []))
             g[0].append(clean), g[1].append(hazy), g[2].append(name)
             if len(g[1]) == n:

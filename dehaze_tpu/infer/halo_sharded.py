@@ -30,7 +30,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from dehaze_tpu.config import ModelConfig, replace
-from dehaze_tpu.infer.tiled import canvas_size, wrap_pad_canvas
+from dehaze_tpu.infer.tiled import (canvas_size, rect_canvas_size,
+                                    wrap_pad_canvas)
 from dehaze_tpu.models import get_arch
 
 
@@ -60,10 +61,18 @@ def make_halo_sharded_frame_fn(
         L = canvas_size(h, w, ps)
         Lw = L
     else:
-        L = (h // ps + 1) * ps
-        Lw = (w // ps + 1) * ps
+        L, Lw = rect_canvas_size(h, w, ps)
     unit = band_unit(cfg) * n_dev
     Lp = -(-L // unit) * unit  # pad rows so bands stay window-aligned
+    if Lp != L:
+        import warnings
+
+        warnings.warn(
+            f"halo banding pads the {L}-row canvas to {Lp} rows for "
+            f"{n_dev} window-aligned bands — the SW wrap seam shifts, so "
+            f"outputs deviate (boundary-locally) from the single-device "
+            f"published protocol; use a band count where "
+            f"canvas % {unit} == 0 for bit-parity", stacklevel=2)
 
     banded_cfg = replace(cfg, band_axis=axis)
     model = get_arch(banded_cfg)
@@ -116,6 +125,11 @@ def make_halo_sharded_native_fn(
     the headline 1200-row frame divides 2/4/8). Shape-polymorphic: retraces
     per input geometry like `make_native_image_fn`.
     """
+    if cfg.arch != "ffa":
+        raise ValueError(
+            f"native banded inference is FFA-only (halo convs + pmean "
+            f"pools); got arch={cfg.arch!r} — use "
+            f"make_halo_sharded_frame_fn for the Uformer canvas protocol")
     n_dev = int(mesh.shape[axis])
     banded_cfg = replace(cfg, band_axis=axis)
     model = get_arch(banded_cfg)
@@ -178,6 +192,15 @@ def make_halo_sharded_anyres_fn(
     unit = band_unit(cfg) * n_dev
     X = int(math.ceil(max(h, w) / float(factor)) * factor)
     Xp = -(-X // unit) * unit
+    if Xp != X:
+        import warnings
+
+        warnings.warn(
+            f"banded anyres pads the {X}-row canvas to {Xp} masked rows "
+            f"for {n_dev} window-aligned bands — a valid any-resolution "
+            f"forward, but boundary-locally different from the "
+            f"single-device X-canvas protocol; use a band count where "
+            f"X % {unit} == 0 for exact parity", stacklevel=2)
     r0, c0 = (X - h) // 2, (X - w) // 2
 
     banded_cfg = replace(cfg, band_axis=axis)

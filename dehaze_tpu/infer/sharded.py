@@ -17,7 +17,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from dehaze_tpu.infer.tiled import canvas_size, wrap_pad_canvas
+from dehaze_tpu.infer.tiled import (canvas_size, rect_canvas_size,
+                                    wrap_pad_canvas)
 
 
 def make_sharded_whole_image_fn(
@@ -43,8 +44,7 @@ def make_sharded_whole_image_fn(
     if square:
         L = Lw = canvas_size(h, w, ps)
     else:
-        L = (h // ps + 1) * ps
-        Lw = (w // ps + 1) * ps
+        L, Lw = rect_canvas_size(h, w, ps)
     in_sh = NamedSharding(mesh, P(axis))
 
     @jax.jit

@@ -186,9 +186,17 @@ def _stream_dehaze_mesh(apply_fn, frames, ps, square, native,
             n += 1
             if len(buf[geom]) == nper:
                 dispatch(geom)
-                drain(1)
+                drain(2)
+            elif sum(len(v) for v in buf.values()) >= 2 * nper:
+                # mixed-geometry folder: keep host memory O(nper), not
+                # O(total frames) — force-dispatch the fullest partial
+                # batch (padded) instead of hoarding decoded f32 frames
+                fullest = max(buf, key=lambda g: len(buf[g]))
+                dispatch(fullest)
+                drain(2)
         for geom in list(buf):
             dispatch(geom)
+            drain(1)
         drain(0)
         for f in enc_futs:
             f.result()

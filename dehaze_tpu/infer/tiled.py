@@ -37,6 +37,14 @@ def canvas_size(h: int, w: int, ps: int) -> int:
     return (m // ps + 1) * ps
 
 
+def rect_canvas_size(h: int, w: int, ps: int):
+    """(L, Lw) for the rectangular canvas: each axis bumps to the NEXT
+    multiple of ps even when already divisible (the reference's canvas_size
+    quirk applied per axis). Shared by infer.tiled/sharded/halo_sharded so
+    the serial-vs-mesh byte-identity guarantee can't desynchronize."""
+    return (h // ps + 1) * ps, (w // ps + 1) * ps
+
+
 def wrap_pad_canvas(img: jnp.ndarray, L: int, Lw: Optional[int] = None
                     ) -> jnp.ndarray:
     """[B, H, W, C] → [B, L, Lw, C] with the reference's wrap padding.
@@ -77,8 +85,7 @@ def make_whole_image_fn(
         L = fixed_L or canvas_size(h, w, ps)
         Lw = L
     else:
-        L = (h // ps + 1) * ps
-        Lw = (w // ps + 1) * ps
+        L, Lw = rect_canvas_size(h, w, ps)
 
     @jax.jit
     def run(img):

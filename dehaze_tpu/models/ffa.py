@@ -45,7 +45,7 @@ def _conv(features: int, ksize: int, in_feats: int, dtype, name: str,
 
 
 def _conv3_banded(x, features: int, in_feats: int, dtype, name: str,
-                  band_axis: Optional[str], module=None):
+                  band_axis: Optional[str]):
     """3x3 SAME conv; under row-band sharding the row padding comes from
     neighbor bands (1-row halo, parallel/halo.py) and the conv runs VALID
     on rows — bit-identical to the single-device SAME conv."""
@@ -108,10 +108,10 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x):
         res = nn.relu(_conv3_banded(x, self.dim, self.dim, self.dtype,
-                                    "conv1", self.band_axis, self))
+                                    "conv1", self.band_axis))
         res = res + x
         res = _conv3_banded(res, self.dim, self.dim, self.dtype, "conv2",
-                            self.band_axis, self)
+                            self.band_axis)
         res = CALayer(self.dim, dtype=self.dtype, band_axis=self.band_axis,
                       name="calayer")(res)
         res = PALayer(self.dim, dtype=self.dtype, name="palayer")(res)
@@ -133,7 +133,7 @@ class Group(nn.Module):
             res = Block(self.dim, dtype=self.dtype,
                         band_axis=self.band_axis, name=f"block_{i}")(res)
         res = _conv3_banded(res, self.dim, self.dim, self.dtype, "conv",
-                            self.band_axis, self)
+                            self.band_axis)
         return res + x
 
 
@@ -151,7 +151,7 @@ class FFA(nn.Module):
         assert self.gps == 3
         ba = self.band_axis
         inp = x1.astype(self.dtype)
-        x = _conv3_banded(inp, self.dim, 3, self.dtype, "pre", ba, self)
+        x = _conv3_banded(inp, self.dim, 3, self.dtype, "pre", ba)
         res1 = Group(self.dim, self.blocks, dtype=self.dtype, band_axis=ba,
                      name="g1")(x)
         res2 = Group(self.dim, self.blocks, dtype=self.dtype, band_axis=ba,
@@ -178,6 +178,6 @@ class FFA(nn.Module):
         )
         out = PALayer(self.dim, dtype=self.dtype, name="palayer")(out)
         out = _conv3_banded(out, self.dim, self.dim, self.dtype, "post1",
-                            ba, self)
-        out = _conv3_banded(out, 3, self.dim, self.dtype, "post2", ba, self)
+                            ba)
+        out = _conv3_banded(out, 3, self.dim, self.dtype, "post2", ba)
         return (x1 + out.astype(jnp.float32)).astype(jnp.float32)
