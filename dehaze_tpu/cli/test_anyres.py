@@ -25,7 +25,14 @@ def main():
     p.add_argument("--input_dir", required=True)
     p.add_argument("--weights", required=True)
     p.add_argument("--result_dir", default="./results/anyres")
-    p.add_argument("--save_images", action="store_true", default=True)
+    p.add_argument("--save_images",
+                   action=argparse.BooleanOptionalAction, default=True,
+                   help="--no-save_images skips PNG encoding (metrics only)")
+    p.add_argument("--ssim_data_range", type=float, default=2.0,
+                   help="2.0 replicates skimage's float default the "
+                        "reference protocol uses "
+                        "(test_in_any_resolution.py:127 passes no "
+                        "data_range); 1.0 is physically correct")
     p.add_argument("--bands", type=int, default=0,
                    help="shard each frame's canvas rows over an N-chip mesh "
                         "with halo exchange (infer.halo_sharded); 0/1 = "
@@ -73,7 +80,8 @@ def main():
             geom = (h, w)
         out = np.asarray(run(jnp.asarray(hazy)[None])[0])
         psnr = float(M.psnr(jnp.asarray(out), jnp.asarray(clean)))
-        ssim = float(M.ssim(jnp.asarray(out), jnp.asarray(clean)))
+        ssim = float(M.ssim(jnp.asarray(out), jnp.asarray(clean),
+                            data_range=args.ssim_data_range))
         psnrs.append(psnr)
         ssims.append(ssim)
         print(f"{name}: PSNR {psnr:.4f} SSIM {ssim:.4f}", flush=True)

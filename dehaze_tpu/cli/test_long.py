@@ -26,7 +26,9 @@ def main():
     p.add_argument("--input_dir", required=True)
     p.add_argument("--weights", required=True)
     p.add_argument("--result_dir", default="./results/long")
-    p.add_argument("--save_images", action="store_true", default=True)
+    p.add_argument("--save_images",
+                   action=argparse.BooleanOptionalAction, default=True,
+                   help="--no-save_images skips PNG encoding (metrics only)")
     p.add_argument("--rect_canvas", action="store_true",
                    help="pad H and W independently instead of the square "
                         "LxL canvas: same crop semantics, -23%% compute on "

@@ -94,9 +94,13 @@ def make_halo_sharded_frame_fn(
         canvas = wrap_pad_canvas(img, L, Lw)
         if Lp != L:
             # wrap-fill the alignment pad (content is cropped anyway; wrap
-            # keeps the SW-MSA seam statistics identical to the L-row canvas)
-            canvas = jnp.concatenate(
-                [canvas, canvas[:, : Lp - L]], axis=1)
+            # keeps the SW-MSA seam statistics identical to the L-row
+            # canvas). The pad can exceed L (small frames, many bands), so
+            # tile before slicing — a bare canvas[:, :Lp-L] would silently
+            # clamp and emit a wrong-sized canvas.
+            reps = -(-(Lp - L) // L)
+            pad = jnp.tile(canvas, (1, reps, 1, 1))[:, : Lp - L]
+            canvas = jnp.concatenate([canvas, pad], axis=1)
         out = sharded(variables, canvas)
         return jnp.clip(out[:, :h, :w, :], 0.0, 1.0)
 

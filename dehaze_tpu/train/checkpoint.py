@@ -35,17 +35,32 @@ def save_checkpoint(path: str, epoch: int, params: Any, opt_state: Any = None,
     os.replace(tmp, path)
 
 
-def load_checkpoint(path: str, params_template: Any, opt_state_template: Any = None
-                    ) -> Tuple[int, Any, Any, Dict]:
-    """Returns (epoch, params, opt_state_or_None, extra)."""
+def load_payload(path: str) -> Dict:
+    """Parse a checkpoint file once; pair with `checkpoint_from_payload`.
+
+    Lets callers that need the epoch BEFORE they can build parameter
+    templates (e.g. the resume flow's schedule reconstruction) avoid
+    msgpack-parsing the full 60 MB file twice."""
     with open(path, "rb") as f:
-        payload = serialization.msgpack_restore(f.read())
+        return serialization.msgpack_restore(f.read())
+
+
+def checkpoint_from_payload(payload: Dict, params_template: Any,
+                            opt_state_template: Any = None
+                            ) -> Tuple[int, Any, Any, Dict]:
     params = serialization.from_bytes(params_template, payload["params"])
     opt_state = None
     if payload.get("opt_state") and opt_state_template is not None:
         opt_state = serialization.from_bytes(opt_state_template, payload["opt_state"])
     extra = json.loads(payload.get("extra", "{}"))
     return int(payload["epoch"]), params, opt_state, extra
+
+
+def load_checkpoint(path: str, params_template: Any, opt_state_template: Any = None
+                    ) -> Tuple[int, Any, Any, Dict]:
+    """Returns (epoch, params, opt_state_or_None, extra)."""
+    return checkpoint_from_payload(load_payload(path), params_template,
+                                   opt_state_template)
 
 
 def load_start_epoch(path: str) -> int:

@@ -19,7 +19,7 @@ import numpy as np
 from dehaze_tpu.config import Config
 from dehaze_tpu.data.pipeline import PairedFolder, prefetch_to_device, train_batches
 from dehaze_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
-from dehaze_tpu.train.checkpoint import AsyncCheckpointer, load_checkpoint
+from dehaze_tpu.train.checkpoint import AsyncCheckpointer
 from dehaze_tpu.train.schedule import make_epoch_lr, resume_cosine_lr
 from dehaze_tpu.train.trainer import Trainer
 from dehaze_tpu.utils.logging import RunLogger
@@ -81,10 +81,14 @@ def fit(cfg: Config, log_dir: Optional[str] = None) -> Tuple[float, str]:
     # epoch, assuming the resumed run keeps the same steps_per_epoch.)
     epoch_lr = None
     start_epoch = 1
+    resume_payload = None
     if t.resume and t.pretrain_weights:
-        from dehaze_tpu.train.checkpoint import load_start_epoch
+        from dehaze_tpu.train.checkpoint import load_payload
 
-        start_epoch = load_start_epoch(t.pretrain_weights) + 1
+        # parse the checkpoint ONCE: the epoch is needed here (schedule
+        # reconstruction), the params/opt_state only after init_state
+        resume_payload = load_payload(t.pretrain_weights)
+        start_epoch = int(resume_payload["epoch"]) + 1
         resumed_lr = make_epoch_lr(t)(start_epoch - 1)
         base_lr = resume_cosine_lr(t, start_epoch, resumed_lr)
         epoch_lr = lambda e0: base_lr(e0 + 1)  # e0 is 0-based absolute epoch
@@ -96,10 +100,13 @@ def fit(cfg: Config, log_dir: Optional[str] = None) -> Tuple[float, str]:
     sample = np.zeros((d.batch_size, d.train_ps, d.train_ps, 3), np.float32)
     state = trainer.init_state(init_rng, sample[:1])
 
-    if t.resume and t.pretrain_weights:
-        epoch, params, opt_state, _ = load_checkpoint(
-            t.pretrain_weights, state.params, state.opt_state
+    if resume_payload is not None:
+        from dehaze_tpu.train.checkpoint import checkpoint_from_payload
+
+        epoch, params, opt_state, _ = checkpoint_from_payload(
+            resume_payload, state.params, state.opt_state
         )
+        del resume_payload
         state = state.replace(params=params,
                               opt_state=opt_state or state.opt_state)
         logger.text(f"==> Resuming from epoch {start_epoch}")
@@ -109,7 +116,18 @@ def fit(cfg: Config, log_dir: Optional[str] = None) -> Tuple[float, str]:
         bsh = batch_sharding(mesh)
 
     val, n_val = _val_batches(val_folder, d.train_ps, d.batch_size)
-    psnr0, ssim0 = trainer.evaluate(state.params, iter(val), n_valid=n_val)
+    # pre-train sanity line (`My_train.py:165-194`): the reference compares
+    # the hazy INPUT against GT directly — no model involved (an evaluate()
+    # here would print the init/resumed model's PSNR under this label)
+    from dehaze_tpu.ops import metrics as M
+
+    _p0, _s0 = [], []
+    for clean, hazy in iter(val):
+        c, hz = jnp.asarray(clean), jnp.asarray(hazy)
+        _p0.append(M.batch_psnr(hz, c))
+        _s0.append(M.batch_ssim(hz, c))
+    psnr0 = float(np.mean(np.concatenate(jax.device_get(_p0))[:n_val]))
+    ssim0 = float(np.mean(np.concatenate(jax.device_get(_s0))[:n_val]))
     logger.text(f"Input & GT  PSNR {psnr0:.4f} dB | SSIM {ssim0:.4f}")
 
     best_psnr, best_epoch, best_iter = 0.0, 0, 0

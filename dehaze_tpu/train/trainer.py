@@ -157,6 +157,12 @@ class Trainer:
             # `sample` is batch-shared ([N, u] key columns), so reusing
             # k_sample per microbatch is exactly the full-batch behavior;
             # dropout/droppath keys fold per microbatch (per-image masks).
+            # CAVEAT: Charbonnier averages exactly, but the CR loss is a
+            # ratio of batch-mean feature distances — averaging per-
+            # microbatch ratios != the full-batch ratio, so with
+            # w_contrast > 0 accumulation optimizes a slightly different
+            # objective than the single-step recipe (warned at the
+            # trainer level; accum equivalence is exact for Charbonnier).
             b = clean.shape[0]
             if b % accum_steps:
                 raise ValueError(f"batch {b} not divisible by accum_steps "
@@ -189,6 +195,17 @@ class Trainer:
 
     def train_step(self, state, clean, hazy, rng, use_mixup: bool,
                    accum_steps: int = 1):
+        if (accum_steps > 1 and self.cfg.loss.w_contrast > 0
+                and not getattr(self, "_warned_accum_cr", False)):
+            import warnings
+
+            warnings.warn(
+                "gradient accumulation with the CR loss averages per-"
+                "microbatch contrast RATIOS (mean-of-ratios != the full-"
+                "batch ratio-of-means) — the accumulated objective differs "
+                "slightly from the single-step bs-32 recipe; Charbonnier "
+                "accumulates exactly", stacklevel=2)
+            self._warned_accum_cr = True
         return self._train_step(state, jnp.asarray(clean), jnp.asarray(hazy), rng,
                                 use_mixup=use_mixup, accum_steps=accum_steps)
 

@@ -81,6 +81,25 @@ def test_halo_banded_anyres_equals_single_device(n_dev):
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
 
 
+def test_halo_banded_pad_exceeds_canvas():
+    """Alignment pad larger than the canvas itself (small frame, many
+    bands): the wrap-fill must tile, not silently clamp — regression for
+    the canvas[:, :Lp-L] truncation bug."""
+    import warnings as _warnings
+
+    from dehaze_tpu.infer.halo_sharded import make_halo_sharded_frame_fn
+
+    cfg, model, variables = _model_and_vars()
+    h = w = 100  # square canvas L=128; 4 bands -> unit=512, pad=384 > L
+    img = np.random.default_rng(6).uniform(size=(1, h, w, 3)).astype(np.float32)
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("ignore")  # expected protocol-deviation warn
+        run = make_halo_sharded_frame_fn(cfg, variables, make_mesh(4), h, w,
+                                         ps=32, square=True)
+    got = np.asarray(run(img))
+    assert got.shape == (1, h, w, 3) and np.isfinite(got).all()
+
+
 def test_halo_banded_anyres_alignment_pad_runs():
     """When X does not divide band_unit*n_dev the canvas pads with masked
     rows — a valid (documented-deviation) anyres forward; must run and
