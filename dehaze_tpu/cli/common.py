@@ -100,3 +100,46 @@ def config_from_args(a: argparse.Namespace) -> Config:
             data_axis=a.data_axis, accum_steps=a.accum_steps,
         ),
     )
+
+
+def build_model_and_params(cfg: Config, weights: str, train_ps: int):
+    """Shared eval-CLI scaffolding: init the arch, load weights, return
+    (model, variables, key).
+
+    `weights` may be a native `.msgpack` checkpoint or a reference torch
+    file (`.pth`/`.pt`/`.pk` — routed through utils.convert_torch per
+    arch), so every eval surface ingests reference checkpoints uniformly.
+    """
+    import jax
+
+    from dehaze_tpu.models import get_arch
+    from dehaze_tpu.train.checkpoint import load_checkpoint
+
+    model = get_arch(cfg.model)
+    key = jax.random.PRNGKey(0)
+    probe = jnp.zeros((1, train_ps, train_ps, 3), jnp.float32)
+    variables = jax.jit(
+        lambda: model.init({"params": key, "sample": key}, probe)
+    )()
+    if weights.endswith((".pth", ".pt", ".pk")):
+        from dehaze_tpu.utils import convert_torch as CT
+
+        if cfg.model.arch == "ffa":
+            params = CT.load_reference_ffa_checkpoint(
+                weights, blocks=cfg.model.ffa_blocks)
+        elif cfg.model.arch == "unet":
+            import torch
+
+            payload = torch.load(weights, map_location="cpu",
+                                 weights_only=False)
+            params = CT.convert_unet_state_dict(
+                payload.get("state_dict", payload))
+        else:
+            params = CT.load_reference_checkpoint(
+                weights, attention=cfg.model.attention,
+                token_projection=cfg.model.token_projection,
+                se_layer=cfg.model.se_layer)
+        params = jax.tree.map(jnp.asarray, params)
+    else:
+        _, params, _, _ = load_checkpoint(weights, variables["params"])
+    return model, {"params": params}, key

@@ -10,14 +10,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dehaze_tpu.cli.common import add_common_args, config_from_args
+from dehaze_tpu.cli.common import (add_common_args, build_model_and_params,
+                                    config_from_args)
 from dehaze_tpu.data.augment import mixup
 from dehaze_tpu.data.pipeline import PairedFolder, train_batches
-from dehaze_tpu.models import get_arch
 from dehaze_tpu.models import vgg as vgg_mod
 from dehaze_tpu.ops import landscape as LS
 from dehaze_tpu.ops import losses as L
-from dehaze_tpu.train.checkpoint import load_checkpoint
 
 
 def main():
@@ -66,13 +65,9 @@ def main():
         print(f"merged {args.merge} -> {len(rows)} points -> {args.out_plot}")
         return
 
-    model = get_arch(cfg.model)
-    key = jax.random.PRNGKey(0)
-    probe = jnp.zeros((1, cfg.data.train_ps, cfg.data.train_ps, 3), jnp.float32)
-    variables = jax.jit(
-        lambda: model.init({"params": key, "sample": key}, probe)
-    )()
-    _, params, _, _ = load_checkpoint(args.weights, variables["params"])
+    model, variables, key = build_model_and_params(cfg, args.weights,
+                                                   cfg.data.train_ps)
+    params = variables["params"]
 
     is_ffa = cfg.model.arch == "ffa"
 

@@ -16,9 +16,8 @@ import os
 import jax
 import jax.numpy as jnp
 
-from dehaze_tpu.cli.common import add_common_args, config_from_args
-from dehaze_tpu.models import get_arch
-from dehaze_tpu.train.checkpoint import load_checkpoint
+from dehaze_tpu.cli.common import (add_common_args, build_model_and_params,
+                                    config_from_args)
 from dehaze_tpu.infer.stream import stream_dehaze
 
 
@@ -34,14 +33,8 @@ def main():
     args = p.parse_args()
     cfg = config_from_args(args)
 
-    model = get_arch(cfg.model)
-    key = jax.random.PRNGKey(0)
-    probe = jnp.zeros((1, args.train_ps, args.train_ps, 3), jnp.float32)
-    variables = jax.jit(
-        lambda: model.init({"params": key, "sample": key}, probe)
-    )()
-    _, params, _, _ = load_checkpoint(args.weights, variables["params"])
-    variables = {"params": params}
+    model, variables, key = build_model_and_params(cfg, args.weights,
+                                                   args.train_ps)
 
     is_ffa = cfg.model.arch == "ffa"
 

@@ -11,13 +11,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dehaze_tpu.cli.common import add_common_args, config_from_args
+from dehaze_tpu.cli.common import (add_common_args, build_model_and_params,
+                                    config_from_args)
 from dehaze_tpu.data.images import save_img
 from dehaze_tpu.data.pipeline import PairedFolder, val_images
 from dehaze_tpu.infer.anyres import make_anyres_fn
-from dehaze_tpu.models import get_arch
 from dehaze_tpu.ops import metrics as M
-from dehaze_tpu.train.checkpoint import load_checkpoint
 
 
 def main():
@@ -44,14 +43,8 @@ def main():
                          "path exists only in the Uformer (reference "
                          "test_in_any_resolution.py parity)")
 
-    model = get_arch(cfg.model)
-    key = jax.random.PRNGKey(0)
-    probe = jnp.zeros((1, args.train_ps, args.train_ps, 3), jnp.float32)
-    variables = jax.jit(
-        lambda: model.init({"params": key, "sample": key}, probe)
-    )()
-    _, params, _, _ = load_checkpoint(args.weights, variables["params"])
-    variables = {"params": params}
+    model, variables, key = build_model_and_params(cfg, args.weights,
+                                                   args.train_ps)
 
     def apply_fn(x, pad):
         return model.apply(variables, x, train=False, pad_mask=pad,

@@ -12,13 +12,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dehaze_tpu.cli.common import add_common_args, config_from_args
+from dehaze_tpu.cli.common import (add_common_args, build_model_and_params,
+                                    config_from_args)
 from dehaze_tpu.data.images import save_img
 from dehaze_tpu.data.pipeline import PairedFolder, val_images
 from dehaze_tpu.infer.tiled import make_native_image_fn, make_whole_image_fn
-from dehaze_tpu.models import get_arch
 from dehaze_tpu.ops import metrics as M
-from dehaze_tpu.train.checkpoint import load_checkpoint
 
 
 def main():
@@ -50,39 +49,10 @@ def main():
     args = p.parse_args()
     cfg = config_from_args(args)
 
-    model = get_arch(cfg.model)
-    key = jax.random.PRNGKey(0)
     folder = PairedFolder(args.input_dir)
     os.makedirs(args.result_dir, exist_ok=True)
-
-    # init with the right structure, then load weights
-    probe = jnp.zeros((1, args.train_ps, args.train_ps, 3), jnp.float32)
-    variables = jax.jit(
-        lambda: model.init({"params": key, "sample": key}, probe)
-    )()
-    if args.weights.endswith((".pth", ".pt", ".pk")):
-        # Direct ingest of a reference torch checkpoint (needs torch).
-        from dehaze_tpu.utils import convert_torch as CT
-
-        if cfg.model.arch == "ffa":
-            params = CT.load_reference_ffa_checkpoint(
-                args.weights, blocks=cfg.model.ffa_blocks)
-        elif cfg.model.arch == "unet":
-            import torch
-
-            payload = torch.load(args.weights, map_location="cpu",
-                                 weights_only=False)
-            params = CT.convert_unet_state_dict(
-                payload.get("state_dict", payload))
-        else:
-            params = CT.load_reference_checkpoint(
-                args.weights, attention=cfg.model.attention,
-                token_projection=cfg.model.token_projection,
-                se_layer=cfg.model.se_layer)
-        params = jax.tree.map(jnp.asarray, params)
-    else:
-        _, params, _, _ = load_checkpoint(args.weights, variables["params"])
-    variables = {"params": params}
+    model, variables, key = build_model_and_params(cfg, args.weights,
+                                                   args.train_ps)
 
     is_ffa = cfg.model.arch == "ffa"
 
