@@ -26,6 +26,23 @@ import numpy as np
 from dehaze_tpu.infer.tiled import make_native_image_fn, make_whole_image_fn
 
 
+def _decoded_frames(frames, dec, load_fn, lookahead):
+    """Yield (decoded_img, out_path) with at most `lookahead` decode
+    futures outstanding — bounded host memory even on huge folders (a
+    whole-folder submit would retain every f32 frame, ~23 MB each).
+    Shared by the single-device and mesh pipelines."""
+    from collections import deque
+
+    decoded = deque(dec.submit(load_fn, p) for p, _ in frames[:lookahead])
+    next_submit = lookahead
+    for _, out_path in frames:
+        fut = decoded.popleft()
+        if next_submit < len(frames):
+            decoded.append(dec.submit(load_fn, frames[next_submit][0]))
+            next_submit += 1
+        yield fut.result(), out_path
+
+
 def stream_dehaze(
     apply_fn: Callable[[jnp.ndarray], jnp.ndarray],
     frames: Iterable[Tuple[str, str]],  # (input_path, output_path)
@@ -91,22 +108,10 @@ def stream_dehaze(
     lookahead = decode_workers + 2  # bounded: host RAM stays O(lookahead)
     with cf.ThreadPoolExecutor(decode_workers) as dec, \
             cf.ThreadPoolExecutor(encode_workers) as enc:
-        # Submit decodes lazily (at most `lookahead` outstanding) and drop
-        # each future once consumed, so decoded frames can be GC'd — a
-        # whole-folder submit would retain every f32 frame (~23 MB each).
-        from collections import deque
-        decoded: deque = deque(
-            dec.submit(load_fn, p) for p, _ in frames[:lookahead])
-        next_submit = lookahead
         pending: list = []  # (device_out, out_path) — keep device queue ≤ 2
         enc_futs = []
         t0 = time.perf_counter()
-        for in_path, out_path in frames:
-            fut = decoded.popleft()
-            if next_submit < len(frames):
-                decoded.append(dec.submit(load_fn, frames[next_submit][0]))
-                next_submit += 1
-            img = fut.result()
+        for img, out_path in _decoded_frames(frames, dec, load_fn, lookahead):
             h, w = img.shape[:2]
             run = get_run(h, w)
             out = run(jnp.asarray(img)[None])  # async dispatch
@@ -132,8 +137,6 @@ def _stream_dehaze_mesh(apply_fn, frames, ps, square, native,
     """Mesh throughput mode: same bounded decode/encode pipelines, but
     frames group into batches of mesh-axis-size and each batch shards one
     frame per chip (infer.sharded, out_u8 on-device quantization)."""
-    from collections import deque
-
     from dehaze_tpu.infer.sharded import make_sharded_whole_image_fn
 
     nper = int(mesh.shape[axis])
@@ -151,9 +154,6 @@ def _stream_dehaze_mesh(apply_fn, frames, ps, square, native,
     lookahead = decode_workers + 2
     with cf.ThreadPoolExecutor(decode_workers) as dec, \
             cf.ThreadPoolExecutor(encode_workers) as enc:
-        decoded: deque = deque(
-            dec.submit(load_fn, p) for p, _ in frames[:lookahead])
-        next_submit = lookahead
         buf: Dict[Tuple[int, int], list] = {}  # geom -> [(img, out_path)]
         pending: list = []  # (device_out, [out_paths])
         enc_futs = []
@@ -174,12 +174,7 @@ def _stream_dehaze_mesh(apply_fn, frames, ps, square, native,
                     enc_futs.append(enc.submit(save_fn, path, arr))
 
         t0 = time.perf_counter()
-        for in_path, out_path in frames:
-            fut = decoded.popleft()
-            if next_submit < len(frames):
-                decoded.append(dec.submit(load_fn, frames[next_submit][0]))
-                next_submit += 1
-            img = fut.result()
+        for img, out_path in _decoded_frames(frames, dec, load_fn, lookahead):
             geom = img.shape[:2]
             buf.setdefault(geom, []).append((img, out_path))
             total_pix += geom[0] * geom[1]
