@@ -127,6 +127,42 @@ def test_stream_dehaze_mesh_matches_serial(tmp_path):
         np.testing.assert_array_equal(a, b)
 
 
+def test_stream_dehaze_mesh_mixed_geometry_bound(tmp_path):
+    """A folder of mostly-unique geometries triggers the bounded-buffer
+    force-dispatch (buffered >= 2*mesh size); outputs still match the
+    serial stream."""
+    import os
+    import numpy as np
+    import jax.numpy as jnp
+    from dehaze_tpu.data.images import save_img, load_img
+    from dehaze_tpu.infer.stream import stream_dehaze
+    from dehaze_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(3)
+    src = tmp_path / "in"
+    os.makedirs(src)
+    sizes = [(16 + 8 * i, 24) for i in range(10)]  # 10 distinct geometries
+    for i, (h, w) in enumerate(sizes):
+        save_img(str(src / f"{i}.png"),
+                 rng.uniform(size=(h, w, 3)).astype(np.float32))
+
+    def apply_fn(x):
+        return (x * 0.5).astype(jnp.float32)
+
+    outs = {}
+    for name, mesh in [("serial", None), ("mesh", make_mesh(4))]:
+        dst = tmp_path / name
+        os.makedirs(dst)
+        frames = [(str(src / f"{i}.png"), str(dst / f"{i}.png"))
+                  for i in range(len(sizes))]
+        stats = stream_dehaze(apply_fn, frames, ps=8, mesh=mesh)
+        assert stats["frames"] == len(sizes)
+        outs[name] = [load_img(str(dst / f"{i}.png"))
+                      for i in range(len(sizes))]
+    for a, b in zip(outs["serial"], outs["mesh"]):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_stream_dehaze_native_mode(tmp_path):
     """native=True (FFA protocol) runs frames at raw resolution — output
     equals clip(apply_fn(img)) with no canvas involved."""
