@@ -12,8 +12,11 @@ def main():
     p = argparse.ArgumentParser(description="cpu/ram monitor")
     p.add_argument("--interval", type=float, default=20.0)
     p.add_argument("--log", default=None)
+    p.add_argument("--count", type=int, default=None,
+                   help="stop after N samples (default: run forever, like "
+                        "the reference's use_memory.py)")
     a = p.parse_args()
-    monitor_loop(interval=a.interval, log_path=a.log)
+    monitor_loop(interval=a.interval, log_path=a.log, max_iters=a.count)
 
 
 if __name__ == "__main__":

@@ -8,11 +8,16 @@ from typing import Optional
 
 
 def monitor_loop(interval: float = 20.0, cpu_sample_secs: float = 2.0,
-                 log_path: Optional[str] = None, stop_event=None) -> None:
-    """Print (and optionally append) 'cpu% mem%' every `interval` seconds."""
+                 log_path: Optional[str] = None, stop_event=None,
+                 max_iters: Optional[int] = None) -> None:
+    """Print (and optionally append) 'cpu% mem%' every `interval` seconds.
+
+    `max_iters` bounds the loop (None = run until stop_event / forever,
+    the reference's behavior)."""
     import psutil
 
     fh = open(log_path, "a") if log_path else None
+    done = 0
     try:
         while stop_event is None or not stop_event.is_set():
             cpu = psutil.cpu_percent(interval=cpu_sample_secs)
@@ -22,6 +27,9 @@ def monitor_loop(interval: float = 20.0, cpu_sample_secs: float = 2.0,
             if fh:
                 fh.write(line + "\n")
                 fh.flush()
+            done += 1
+            if max_iters is not None and done >= max_iters:
+                break
             time.sleep(max(interval - cpu_sample_secs, 0))
     finally:
         if fh:

@@ -35,7 +35,7 @@ def _needs_reexec() -> bool:
     return ".axon_site" in pythonpath or os.environ.get("JAX_PLATFORMS") == "axon"
 
 
-if _needs_reexec():
+def _reexec_cpu() -> None:
     env = dict(os.environ)
     env["DEHAZE_TPU_TEST_REEXEC"] = "1"
     env["PYTHONPATH"] = _REPO
@@ -49,26 +49,42 @@ if _needs_reexec():
     os.execve(sys.executable,
               [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    flags += " --xla_force_host_platform_device_count=8"
-if "collective_call_terminate" not in flags:
-    flags += _COLLECTIVE_FLAGS
-os.environ["XLA_FLAGS"] = flags.strip()
 
-sys.path.insert(0, _REPO)
+if _needs_reexec():
+    # Re-exec from pytest_configure, NOT here: at conftest-import time
+    # pytest's capture plugin has already pointed fd 1/2 at a private
+    # tmpfile, so an execve now inherits those fds and the whole run's
+    # output silently disappears (rc still propagates). At configure
+    # time the CaptureManager is reachable and can restore the real
+    # stdout/stderr first.
+    def pytest_configure(config):
+        capman = config.pluginmanager.getplugin("capturemanager")
+        if capman is not None:
+            capman.suspend_global_capture(in_=True)
+        _reexec_cpu()
 
-import jax  # noqa: E402
+else:
+    def pytest_configure(config):
+        config.addinivalue_line(
+            "markers",
+            "slow: multi-minute tests (full-geometry parity oracles); "
+            "deselect with -m 'not slow'")
 
-# Parity tests compare against NumPy: make f32 matmuls exact. (The model's
-# hot path uses bf16 activations regardless of this default.)
-jax.config.update("jax_default_matmul_precision", "highest")
+if not _needs_reexec():
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        flags += " --xla_force_host_platform_device_count=8"
+    if "collective_call_terminate" not in flags:
+        flags += _COLLECTIVE_FLAGS
+    os.environ["XLA_FLAGS"] = flags.strip()
 
-import dehaze_tpu  # noqa: E402,F401  (persistent compilation cache)
+    sys.path.insert(0, _REPO)
 
+    import jax
 
-def pytest_configure(config):
-    config.addinivalue_line(
-        "markers", "slow: multi-minute tests (full-geometry parity oracles); "
-        "deselect with -m 'not slow'")
+    # Parity tests compare against NumPy: make f32 matmuls exact. (The
+    # model's hot path uses bf16 activations regardless of this default.)
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    import dehaze_tpu  # noqa: F401  (persistent compilation cache)

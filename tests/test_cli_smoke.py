@@ -1,0 +1,144 @@
+"""End-to-end smoke coverage for the thin CLI mains whose underlying
+modules are unit-tested elsewhere but whose argparse wiring was not:
+train, test_anyres, stream, trajectory, generate_patches, params_flops,
+monitor. Each runs as a subprocess with a tiny model/dataset on the CPU
+backend (the library math is covered by the dedicated test files; these
+lock the user-facing entry points)."""
+
+import os
+import re
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_TINY = ["--embed_dim", "8", "--train_ps", "32", "--dtype", "float32"]
+
+
+def _run(args, timeout=560):
+    r = subprocess.run(
+        [sys.executable, "-m"] + args, capture_output=True, text=True,
+        timeout=timeout,
+        env={**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": _REPO})
+    assert r.returncode == 0, (args[0], r.stderr[-2000:])
+    return r.stdout
+
+
+@pytest.fixture(scope="module")
+def tiny_root(tmp_path_factory):
+    import cv2
+
+    root = tmp_path_factory.mktemp("clismoke")
+    rng = np.random.default_rng(0)
+    for split, n in [("train", 4), ("val", 2)]:
+        for sub in ("gt", "hazy"):
+            (root / split / sub).mkdir(parents=True)
+        for i in range(n):
+            img = (rng.random((40, 48, 3)) * 255).astype(np.uint8)
+            cv2.imwrite(str(root / split / "gt" / f"{i}.png"), img)
+            cv2.imwrite(str(root / split / "hazy" / f"{i}.png"),
+                        np.clip(img * 0.7 + 40, 0, 255).astype(np.uint8))
+    return root
+
+
+@pytest.fixture(scope="module")
+def tiny_ckpt(tmp_path_factory):
+    from dehaze_tpu.config import ModelConfig
+    from dehaze_tpu.models.uformer import Uformer
+    from dehaze_tpu.train.checkpoint import save_checkpoint
+
+    d = tmp_path_factory.mktemp("clismoke_w")
+    model = Uformer(ModelConfig(img_size=32, embed_dim=8, dtype=jnp.float32,
+                                drop_path_rate=0.0))
+    k = jax.random.PRNGKey(0)
+    v = jax.jit(lambda: model.init({"params": k, "sample": k},
+                                   jnp.zeros((1, 32, 32, 3))))()
+    path = str(d / "w.msgpack")
+    save_checkpoint(path, 0, v["params"])
+    return path, v["params"]
+
+
+def test_cli_generate_patches(tiny_root, tmp_path):
+    tar = tmp_path / "patches"
+    out = _run(["dehaze_tpu.cli.generate_patches",
+                "--src_dir", str(tiny_root / "train"),
+                "--tar_dir", str(tar), "--ps", "16", "--num_patches", "3",
+                "--num_cores", "1"])
+    assert "processed 4 image pairs" in out
+    assert len(list((tar / "gt").glob("*.png"))) == 12
+    assert len(list((tar / "hazy").glob("*.png"))) == 12
+
+
+def test_cli_params_flops():
+    out = _run(["dehaze_tpu.cli.params_flops"] + _TINY)
+    m = re.search(r"Total params: ([\d,]+)", out)
+    assert m and int(m.group(1).replace(",", "")) > 10_000
+    assert re.search(r"GFLOPs \(XLA cost analysis, 1 forward\): \d", out)
+
+
+def test_cli_train_one_epoch(tiny_root, tmp_path):
+    out = _run(["dehaze_tpu.cli.train",
+                "--train_dir", str(tiny_root / "train"),
+                "--val_dir", str(tiny_root / "val"),
+                "--nepoch", "1", "--batch_size", "2", "--train_workers", "1",
+                "--w_loss_vgg7", "0", "--save_dir", str(tmp_path / "log"),
+                "--seed", "1"] + _TINY)
+    m = re.search(r"best PSNR (\S+) \| checkpoint (\S+)", out)
+    assert m, out[-2000:]
+    assert np.isfinite(float(m.group(1)))
+    assert os.path.exists(m.group(2))
+
+
+def test_cli_stream(tiny_root, tiny_ckpt, tmp_path):
+    ckpt, _ = tiny_ckpt
+    res = tmp_path / "streamed"
+    out = _run(["dehaze_tpu.cli.stream",
+                "--input_dir", str(tiny_root / "val" / "hazy"),
+                "--weights", ckpt, "--result_dir", str(res)] + _TINY)
+    assert re.search(r"2 frames in \S+s = \S+ Mpix/s sustained", out)
+    assert sorted(p.name for p in res.glob("*.png")) == ["0.png", "1.png"]
+
+
+def test_cli_test_anyres(tiny_root, tiny_ckpt, tmp_path):
+    ckpt, _ = tiny_ckpt
+    out = _run(["dehaze_tpu.cli.test_anyres",
+                "--input_dir", str(tiny_root / "val"),
+                "--weights", ckpt,
+                "--result_dir", str(tmp_path / "anyres")] + _TINY)
+    m = re.search(r"PSNR: (\S+), SSIM: (\S+)", out)
+    assert m and np.isfinite(float(m.group(1)))
+
+
+def test_cli_trajectory(tiny_ckpt, tmp_path):
+    from dehaze_tpu.train.checkpoint import save_checkpoint
+
+    _, params = tiny_ckpt
+    ckdir = tmp_path / "ck"
+    ckdir.mkdir()
+    # two "epochs" drifting toward a "best" point
+    for e, scale in [(1, 1.0), (2, 0.5)]:
+        drifted = jax.tree.map(lambda p, s=scale: p + s * 0.01, params)
+        save_checkpoint(str(ckdir / f"epoch_model_{e}.msgpack"), e, drifted)
+    save_checkpoint(str(ckdir / "model_best.msgpack"), 2, params)
+    out_png = tmp_path / "traj.png"
+    out = _run(["dehaze_tpu.cli.trajectory", "--ckpt_dir", str(ckdir),
+                "--best", str(ckdir / "model_best.msgpack"),
+                "--out", str(out_png)] + _TINY)
+    assert "2 checkpoints ->" in out
+    assert out_png.exists()
+    # later epoch is closer to best: r decreases
+    rs = [float(m) for m in re.findall(r"r=(\S+)", out)]
+    assert len(rs) == 2 and rs[1] < rs[0]
+
+
+def test_cli_monitor(tmp_path):
+    log = tmp_path / "mon.txt"
+    out = _run(["dehaze_tpu.cli.monitor", "--interval", "0.2", "--count", "2",
+                "--log", str(log)], timeout=60)
+    lines = [ln for ln in out.splitlines() if "cpu" in ln and "mem" in ln]
+    assert len(lines) == 2
+    assert log.read_text().count("cpu") == 2
