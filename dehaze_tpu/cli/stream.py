@@ -25,26 +25,40 @@ def main():
     p = add_common_args(argparse.ArgumentParser(description="streaming dehaze"))
     p.add_argument("--input_dir", required=True,
                    help="directory of hazy images (flat, or a HAZY/ subdir)")
-    p.add_argument("--weights", required=True)
+    p.add_argument("--weights", default=None)
+    p.add_argument("--exported", default=None,
+                   help="serve a cli.export AOT artifact instead of "
+                        "--weights (no model rebuild; fixed geometry)")
     p.add_argument("--result_dir", default="./results/stream")
     p.add_argument("--square", action="store_true",
                    help="use the reference's square canvas protocol "
                         "(default: rectangular wrap-pad, same crop, faster)")
     args = p.parse_args()
     cfg = config_from_args(args)
+    if (args.weights is None) == (args.exported is None):
+        raise SystemExit("pass exactly one of --weights / --exported")
 
-    model, variables, key = build_model_and_params(cfg, args.weights,
-                                                   args.train_ps)
+    base_fn = base_hw = None
+    apply_fn = None
+    if args.exported:
+        from dehaze_tpu.infer.export import load_exported
 
-    is_ffa = cfg.model.arch == "ffa"
+        base_fn, meta = load_exported(args.exported)
+        base_hw = (meta["height"], meta["width"])
+        is_ffa = meta["arch"] == "ffa"
+    else:
+        model, variables, key = build_model_and_params(cfg, args.weights,
+                                                       args.train_ps)
+        is_ffa = cfg.model.arch == "ffa"
 
-    def apply_fn(x):
-        if is_ffa:
-            # FFA protocol: hazy-only normalization (FFA test.py:52-55)
-            from dehaze_tpu.train.ffa_trainer import normalize_hazy
+        def apply_fn(x):
+            if is_ffa:
+                # FFA protocol: hazy-only normalization (FFA test.py:52-55)
+                from dehaze_tpu.train.ffa_trainer import normalize_hazy
 
-            x = normalize_hazy(x)
-        return model.apply(variables, x, train=False, rngs={"sample": key})
+                x = normalize_hazy(x)
+            return model.apply(variables, x, train=False,
+                               rngs={"sample": key})
 
     src = args.input_dir
     sub = os.path.join(src, "HAZY")
@@ -64,13 +78,19 @@ def main():
     if args.data_axis and args.data_axis > 1:
         # throughput-mode serving: batches of N same-geometry frames, one
         # frame per chip (infer.sharded)
+        if args.exported:
+            raise SystemExit("--exported serves single-device; drop "
+                             "--data_axis or serve from --weights")
         from dehaze_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(args.data_axis)
 
     stats = stream_dehaze(apply_fn, frames, ps=args.train_ps,
-                          square=args.square, native=is_ffa, mesh=mesh)
-    canvas = "native" if is_ffa else ("square" if args.square else "rect")
+                          square=args.square, native=is_ffa, mesh=mesh,
+                          base_fn=base_fn, base_hw=base_hw)
+    canvas = ("exported" if args.exported
+              else "native" if is_ffa
+              else "square" if args.square else "rect")
     chips = f", {args.data_axis} chips" if mesh is not None else ""
     print(f"{stats['frames']} frames in {stats['sec']:.2f}s = "
           f"{stats['mpix_s']:.3f} Mpix/s sustained ({canvas} canvas{chips})")

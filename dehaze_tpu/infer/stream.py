@@ -55,6 +55,8 @@ def stream_dehaze(
     save_fn: Optional[Callable[[str, np.ndarray], None]] = None,
     mesh=None,
     mesh_axis: str = "data",
+    base_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+    base_hw: Optional[Tuple[int, int]] = None,
 ) -> Dict[str, float]:
     """Dehaze a stream of frames with decode/compute/encode overlap.
 
@@ -70,6 +72,10 @@ def stream_dehaze(
     With `mesh`, batches of N same-geometry frames dispatch one frame per
     chip (infer.sharded, zero collectives) — the v5e-8 throughput-mode
     serving path; tail batches pad by repeating their last frame.
+
+    With `base_fn` + `base_hw`, the prebuilt fixed-geometry forward (an
+    AOT artifact from `infer.export.load_exported`) replaces apply_fn and
+    every frame must match `base_hw` — artifacts bake one geometry.
     """
     if load_fn is None:
         from dehaze_tpu.data.images import load_img as load_fn
@@ -80,6 +86,9 @@ def stream_dehaze(
     if not frames:
         return {"frames": 0, "mpix_s": 0.0, "sec": 0.0}
     if mesh is not None:
+        if base_fn is not None:
+            raise ValueError("exported artifacts serve single-device; "
+                             "mesh mode rebuilds from apply_fn")
         return _stream_dehaze_mesh(
             apply_fn, frames, ps, square, native, decode_workers,
             encode_workers, load_fn, save_fn, mesh, mesh_axis)
@@ -88,7 +97,14 @@ def stream_dehaze(
 
     def get_run(h: int, w: int):
         if (h, w) not in runs:
-            if native:
+            if base_fn is not None:
+                if (h, w) != tuple(base_hw):
+                    raise ValueError(
+                        f"frame is {h}x{w} but the exported artifact bakes "
+                        f"{base_hw[0]}x{base_hw[1]}; re-export for this "
+                        "geometry")
+                base = base_fn
+            elif native:
                 base = make_native_image_fn(apply_fn)
             else:
                 base = make_whole_image_fn(apply_fn, h, w, ps, square=square)
