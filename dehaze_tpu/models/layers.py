@@ -165,6 +165,20 @@ class LeFF(nn.Module):
                          dtype=self.dtype, name="linear2")(
                 x.reshape(b * h * w, c))
             return y.reshape(b, h, w, self.out_dim)
+        _wide = _os.environ.get("DEHAZE_TPU_LEFF_WIDE")
+        if (_wide and self.out_dim < 128
+                and self.out_dim >= int(_wide)):
+            # MEASURED NEGATIVE (round 3, interleaved A/B vs 5.59-5.62
+            # plain): zero-padded 128-lane linear2 — full lane occupancy
+            # at 128/out_dim× FLOPs with NO input relayout (unlike
+            # PAIRPACK's row merge). All narrow stages (env=1): 5.05
+            # Mpix/s (−10%); 64-dim stages only (env=64, 2× FLOPs): 5.54
+            # (−1.3%). Third lane-filling mechanism to lose: the
+            # batch-in-lanes emitters are cheaper than any ≥2×-FLOP
+            # full-lane reformulation. Kept env-gated as a ledgered
+            # experiment (DESIGN.md); env value = minimum out_dim to pad.
+            return _WidePadDense(self.out_dim, dtype=self.dtype,
+                                 name="linear2")(x)
         if (_os.environ.get("DEHAZE_TPU_LEFF_PAIRPACK")
                 and self.out_dim <= 64
                 and (x.shape[0] * x.shape[1] * x.shape[2]) % 2 == 0):
@@ -179,6 +193,36 @@ class LeFF(nn.Module):
                                   name="linear2")(x)
         return nn.Dense(self.out_dim, kernel_init=trunc_init, dtype=self.dtype,
                         name="linear2")(x)
+
+
+class _WidePadDense(nn.Module):
+    """Dense(C4→F) computed at 128 output lanes.
+
+    [.., C4] @ pad(W → [C4, 128], zero cols) then slice [..., :F]. The
+    parameter tree (kernel [C4, F], bias [F]) is identical to nn.Dense, so
+    checkpoints are interchangeable; math is identical (the padded columns
+    are exact zeros and are cropped). An optimization_barrier between dot
+    and slice keeps XLA from folding the slice into the dot (which would
+    reproduce the narrow batch-in-lanes emitter this experiment measures
+    against)."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        import jax
+
+        c4 = x.shape[-1]
+        kernel = self.param("kernel", trunc_init, (c4, self.features),
+                            jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+        kw = jnp.pad(kernel.astype(self.dtype),
+                     ((0, 0), (0, 128 - self.features)))
+        y = x.astype(self.dtype) @ kw
+        y = jax.lax.optimization_barrier(y)
+        return y[..., :self.features] + bias.astype(self.dtype)
 
 
 class _PairPackDense(nn.Module):

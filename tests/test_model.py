@@ -177,3 +177,20 @@ def test_leff_pairpack_identity(monkeypatch):
     assert jax.tree_util.tree_structure(v1) == jax.tree_util.tree_structure(v)
     y1 = m.apply(v, x)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=1e-6)
+
+
+def test_leff_widepad_identity(monkeypatch):
+    """DEHAZE_TPU_LEFF_WIDE (zero-padded 128-lane linear2) is math-identical
+    to the plain Dense and shares its parameter tree."""
+    from dehaze_tpu.models.layers import LeFF
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 8, 8, 64)),
+                    jnp.float32)
+    m = LeFF(hidden_dim=256, out_dim=64, dtype=jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x)
+    y0 = m.apply(v, x)
+    monkeypatch.setenv("DEHAZE_TPU_LEFF_WIDE", "1")
+    v1 = m.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(v1) == jax.tree_util.tree_structure(v)
+    y1 = m.apply(v, x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=1e-6)
