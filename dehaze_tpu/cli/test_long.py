@@ -23,7 +23,11 @@ from dehaze_tpu.ops import metrics as M
 def main():
     p = add_common_args(argparse.ArgumentParser(description="whole-image eval"))
     p.add_argument("--input_dir", required=True)
-    p.add_argument("--weights", required=True)
+    p.add_argument("--weights", default=None)
+    p.add_argument("--exported", default=None,
+                   help="evaluate a cli.export AOT artifact instead of "
+                        "--weights (validate-before-deploy; fixed geometry, "
+                        "canvas/normalize baked in)")
     p.add_argument("--result_dir", default="./results/long")
     p.add_argument("--save_images",
                    action=argparse.BooleanOptionalAction, default=True,
@@ -49,8 +53,44 @@ def main():
     args = p.parse_args()
     cfg = config_from_args(args)
 
+    if (args.weights is None) == (args.exported is None):
+        raise SystemExit("pass exactly one of --weights / --exported")
+
     folder = PairedFolder(args.input_dir)
     os.makedirs(args.result_dir, exist_ok=True)
+
+    if args.exported:
+        # artifact eval: the canvas protocol, normalization and geometry
+        # are baked into the compiled module — mesh/canvas flags don't
+        # apply (re-export for a different configuration)
+        if args.bands or args.data_axis or args.rect_canvas:
+            raise SystemExit("--exported bakes its canvas and serves "
+                             "single-device; drop --bands/--data_axis/"
+                             "--rect_canvas")
+        from dehaze_tpu.infer.export import load_exported
+
+        exported_fn, exported_meta = load_exported(args.exported)
+        exported_hw = (exported_meta["height"], exported_meta["width"])
+
+        psnrs, ssims = [], []
+        for clean, hazy, name in val_images(folder):
+            if hazy.shape[:2] != exported_hw:
+                raise SystemExit(
+                    f"{name} is {hazy.shape[0]}x{hazy.shape[1]} but the "
+                    f"artifact bakes {exported_hw[0]}x{exported_hw[1]}; "
+                    "re-export for this geometry")
+            out = np.asarray(exported_fn(jnp.asarray(hazy)[None])[0])
+            psnr = float(M.psnr(jnp.asarray(out), jnp.asarray(clean)))
+            ssim = float(M.ssim(jnp.asarray(out), jnp.asarray(clean),
+                                data_range=args.ssim_data_range))
+            psnrs.append(psnr)
+            ssims.append(ssim)
+            print(f"{name}: PSNR {psnr:.4f} SSIM {ssim:.4f}", flush=True)
+            if args.save_images:
+                save_img(os.path.join(args.result_dir, name), out)
+        print(f"PSNR: {np.mean(psnrs):.6f}, SSIM: {np.mean(ssims):.6f}")
+        return
+
     model, variables, key = build_model_and_params(cfg, args.weights,
                                                    args.train_ps)
 

@@ -123,6 +123,48 @@ def test_cli_export_then_stream(tiny_run, tmp_path):
         np.testing.assert_array_equal(a, b)
 
 
+def test_cli_test_long_exported(tiny_run, tmp_path):
+    """Artifact metric validation: test_long --exported reproduces the
+    --weights --rect_canvas metrics exactly (same baked canvas)."""
+    import cv2
+    import re
+
+    from dehaze_tpu.train.checkpoint import save_checkpoint
+
+    _, v = tiny_run
+    ckpt = str(tmp_path / "w.msgpack")
+    save_checkpoint(ckpt, 0, v["params"])
+    rng = np.random.default_rng(2)
+    for sub in ("gt", "hazy"):
+        (tmp_path / "ds" / sub).mkdir(parents=True)
+    for i in range(2):
+        img = (rng.uniform(size=(40, 56, 3)) * 255).astype(np.uint8)
+        cv2.imwrite(str(tmp_path / "ds" / "gt" / f"{i}.png"), img)
+        cv2.imwrite(str(tmp_path / "ds" / "hazy" / f"{i}.png"),
+                    np.clip(img * 0.7 + 40, 0, 255).astype(np.uint8))
+
+    env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": _REPO}
+    tiny = ["--embed_dim", "8", "--train_ps", "32", "--dtype", "float32"]
+    art = str(tmp_path / "m.dhz")
+
+    def run(args):
+        r = subprocess.run([sys.executable, "-m"] + args, env=env,
+                           capture_output=True, text=True, timeout=560)
+        assert r.returncode == 0, r.stderr[-2000:]
+        return r.stdout
+
+    run(["dehaze_tpu.cli.export", "--weights", ckpt, "--height", "40",
+         "--width", "56", "--out", art] + tiny)
+    out_a = run(["dehaze_tpu.cli.test_long", "--input_dir",
+                 str(tmp_path / "ds"), "--exported", art,
+                 "--result_dir", str(tmp_path / "ra")] + tiny)
+    out_w = run(["dehaze_tpu.cli.test_long", "--input_dir",
+                 str(tmp_path / "ds"), "--weights", ckpt, "--rect_canvas",
+                 "--result_dir", str(tmp_path / "rw")] + tiny)
+    summary = re.compile(r"PSNR: (\S+), SSIM: (\S+)")
+    assert summary.search(out_a).groups() == summary.search(out_w).groups()
+
+
 def test_cli_stream_rejects_both_sources(tmp_path):
     env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": _REPO}
     r = subprocess.run(
