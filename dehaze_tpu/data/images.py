@@ -46,3 +46,36 @@ def save_img(path: str, img: np.ndarray) -> None:
         cv2.imwrite(path, cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
     else:  # pragma: no cover
         Image.fromarray(img).save(path)
+
+
+def decode_img(data: bytes) -> np.ndarray:
+    """Encoded image bytes → [H, W, 3] float32 RGB in [0, 1] (load_img
+    semantics for in-memory payloads — the HTTP serving path)."""
+    if _HAS_CV2:
+        img = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
+        if img is None:
+            raise ValueError("undecodable image payload")
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    else:  # pragma: no cover
+        import io
+
+        img = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    return img.astype(np.float32) / 255.0
+
+
+def encode_img(img: np.ndarray, ext: str = ".png") -> bytes:
+    """[H, W, 3] float (0..1) or uint8 RGB → encoded bytes (save_img
+    rounding)."""
+    if img.dtype != np.uint8:
+        img = np.clip(img * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    if _HAS_CV2:
+        ok, buf = cv2.imencode(ext, cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+        if not ok:
+            raise ValueError(f"cv2 failed to encode {ext}")
+        return buf.tobytes()
+    else:  # pragma: no cover
+        import io
+
+        bio = io.BytesIO()
+        Image.fromarray(img).save(bio, format=ext.lstrip(".").upper())
+        return bio.getvalue()

@@ -1,0 +1,178 @@
+"""HTTP serving endpoint (cli/serve.py)."""
+
+import json
+import os
+import subprocess
+import sys
+import threading
+import time
+import urllib.error
+import urllib.request
+from http.server import ThreadingHTTPServer
+from types import SimpleNamespace
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dehaze_tpu.config import ModelConfig
+from dehaze_tpu.models.uformer import Uformer
+from dehaze_tpu.train.checkpoint import save_checkpoint
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def tiny_ckpt(tmp_path_factory):
+    model = Uformer(ModelConfig(img_size=32, embed_dim=8, dtype=jnp.float32,
+                                drop_path_rate=0.0))
+    k = jax.random.PRNGKey(0)
+    v = jax.jit(lambda: model.init({"params": k, "sample": k},
+                                   jnp.zeros((1, 32, 32, 3))))()
+    path = str(tmp_path_factory.mktemp("serve") / "w.msgpack")
+    save_checkpoint(path, 0, v["params"])
+    return path, model, v, k
+
+
+def _args(**kw):
+    base = dict(weights=None, exported=None, train_ps=32, square=False)
+    base.update(kw)
+    return SimpleNamespace(**base)
+
+
+def _cfg():
+    from dehaze_tpu.config import Config, ModelConfig as MC
+
+    return Config(model=MC(arch="uformer", img_size=32, embed_dim=8,
+                           dtype=jnp.float32))
+
+
+@pytest.fixture()
+def server(tiny_ckpt):
+    from dehaze_tpu.cli.serve import build_dehaze_fn, make_handler
+
+    ckpt, *_ = tiny_ckpt
+    dehaze, info = build_dehaze_fn(_args(weights=ckpt), _cfg())
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(dehaze, info))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_port}"
+    srv.shutdown()
+    srv.server_close()
+
+
+def _png(rng, h=40, w=56):
+    img = (rng.uniform(size=(h, w, 3)) * 255).astype(np.uint8)
+    ok, buf = cv2.imencode(".png", img)
+    assert ok
+    return img, buf.tobytes()
+
+
+def test_healthz_and_dehaze(server, tiny_ckpt):
+    _, model, v, k = tiny_ckpt
+    health = json.loads(urllib.request.urlopen(server + "/healthz",
+                                               timeout=60).read())
+    assert health["status"] == "ok" and health["arch"] == "uformer"
+
+    img_bgr, payload = _png(np.random.default_rng(0))
+    resp = urllib.request.urlopen(
+        urllib.request.Request(server + "/dehaze", data=payload,
+                               method="POST"), timeout=600)
+    assert resp.headers["Content-Type"] == "image/png"
+    got = cv2.imdecode(np.frombuffer(resp.read(), np.uint8),
+                       cv2.IMREAD_COLOR)
+
+    # oracle: the same forward through the library path
+    from dehaze_tpu.infer.tiled import make_whole_image_fn
+
+    rgb = cv2.cvtColor(img_bgr, cv2.COLOR_BGR2RGB).astype(np.float32) / 255
+    run = make_whole_image_fn(
+        lambda x: model.apply(v, x, train=False, rngs={"sample": k}),
+        40, 56, 32, square=False)
+    want = np.clip(np.asarray(run(jnp.asarray(rgb)[None])[0]) * 255 + 0.5,
+                   0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(got, cv2.cvtColor(want,
+                                                    cv2.COLOR_RGB2BGR))
+
+    health = json.loads(urllib.request.urlopen(server + "/healthz",
+                                               timeout=60).read())
+    assert health["served"] == 1
+
+
+def test_bad_payload_is_400(server):
+    req = urllib.request.Request(server + "/dehaze", data=b"not an image",
+                                 method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=60)
+    assert e.value.code == 400
+
+
+def test_exported_geometry_400(tiny_ckpt, tmp_path):
+    from dehaze_tpu.cli.serve import build_dehaze_fn, make_handler
+    from dehaze_tpu.infer.export import (export_whole_image_bytes,
+                                         save_exported)
+    from dehaze_tpu.infer.tiled import make_whole_image_fn
+
+    _, model, v, k = tiny_ckpt
+    run = make_whole_image_fn(
+        lambda x: model.apply(v, x, train=False, rngs={"sample": k}),
+        40, 56, 32, square=False)
+    art = str(tmp_path / "m.dhz")
+    save_exported(art, export_whole_image_bytes(run, 40, 56),
+                  {"height": 40, "width": 56, "arch": "uformer"})
+    dehaze, info = build_dehaze_fn(_args(exported=art), _cfg())
+    assert info["geometry"] == [40, 56]
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(dehaze, info))
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_port}"
+    try:
+        _, payload = _png(np.random.default_rng(1), h=48)  # 48 != baked 40
+        req = urllib.request.Request(url + "/dehaze", data=payload,
+                                     method="POST")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=600)
+        assert e.value.code == 400 and b"bakes 40x56" in e.value.read()
+
+        _, ok_payload = _png(np.random.default_rng(2), h=40, w=56)
+        resp = urllib.request.urlopen(
+            urllib.request.Request(url + "/dehaze", data=ok_payload,
+                                   method="POST"), timeout=600)
+        assert resp.status == 200
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_cli_serve_subprocess(tiny_ckpt):
+    """The real user flow: launch the CLI, hit it over HTTP, shut down."""
+    ckpt, *_ = tiny_ckpt
+    env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": _REPO}
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "dehaze_tpu.cli.serve", "--weights", ckpt,
+         "--port", "0", "--embed_dim", "8", "--train_ps", "32",
+         "--dtype", "float32"],
+        env=env, stdout=subprocess.PIPE, text=True)
+    try:
+        line = proc.stdout.readline()  # "serving ... on http://host:port ..."
+        url = line.split("http://")[1].split()[0].rstrip("/")
+        deadline = time.time() + 120
+        while True:
+            try:
+                health = json.loads(urllib.request.urlopen(
+                    f"http://{url}/healthz", timeout=10).read())
+                break
+            except Exception:
+                if time.time() > deadline:
+                    raise
+                time.sleep(0.5)
+        assert health["status"] == "ok"
+        _, payload = _png(np.random.default_rng(3))
+        resp = urllib.request.urlopen(
+            urllib.request.Request(f"http://{url}/dehaze", data=payload,
+                                   method="POST"), timeout=560)
+        assert resp.status == 200 and resp.read()[:4] == b"\x89PNG"
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
