@@ -143,3 +143,52 @@ def build_model_and_params(cfg: Config, weights: str, train_ps: int):
     else:
         _, params, _, _ = load_checkpoint(weights, variables["params"])
     return model, {"params": params}, key
+
+
+def resolve_forward(args, cfg: Config, ffa_normalize: bool = True):
+    """Shared --weights / --exported scaffolding for eval+serving CLIs
+    (test_long, stream, serve; export uses the weights leg only).
+
+    Exactly one of args.weights / args.exported must be set (SystemExit
+    otherwise). Returns a namespace:
+      mode       'weights' | 'exported'
+      is_ffa     from cfg.model.arch (weights) or the artifact meta
+      apply_fn   [B,H,W,3]→[B,H,W,3] model apply with the FFA hazy
+                 normalize folded in per `ffa_normalize` (weights mode)
+      model/variables/key  the built model (weights mode — for callers
+                 that need mesh runners)
+      base_fn/meta/baked_hw  the loaded artifact callable, its meta, and
+                 the baked (H, W) (exported mode)
+    """
+    from types import SimpleNamespace
+
+    weights = getattr(args, "weights", None)
+    exported = getattr(args, "exported", None)
+    if (weights is None) == (exported is None):
+        raise SystemExit("pass exactly one of --weights / --exported")
+
+    if exported:
+        from dehaze_tpu.infer.export import load_exported
+
+        base_fn, meta = load_exported(exported)
+        return SimpleNamespace(
+            mode="exported", is_ffa=meta["arch"] == "ffa", apply_fn=None,
+            model=None, variables=None, key=None, base_fn=base_fn,
+            meta=meta, baked_hw=(meta["height"], meta["width"]))
+
+    model, variables, key = build_model_and_params(cfg, weights,
+                                                   args.train_ps)
+    is_ffa = cfg.model.arch == "ffa"
+
+    def apply_fn(x):
+        if is_ffa and ffa_normalize:
+            # reference FFA test.py:52-55 Normalize(mean, std) on hazy only
+            from dehaze_tpu.train.ffa_trainer import normalize_hazy
+
+            x = normalize_hazy(x)
+        return model.apply(variables, x, train=False, rngs={"sample": key})
+
+    return SimpleNamespace(
+        mode="weights", is_ffa=is_ffa, apply_fn=apply_fn, model=model,
+        variables=variables, key=key, base_fn=None, meta=None,
+        baked_hw=None)

@@ -19,10 +19,8 @@ source against the .pth (`test_long_GPU.py:57-60`).
 import argparse
 import os
 
-import jax.numpy as jnp
-
-from dehaze_tpu.cli.common import (add_common_args, build_model_and_params,
-                                    config_from_args)
+from dehaze_tpu.cli.common import (add_common_args, config_from_args,
+                                    resolve_forward)
 from dehaze_tpu.infer.export import export_whole_image_bytes, save_exported
 from dehaze_tpu.infer.tiled import make_native_image_fn, make_whole_image_fn
 
@@ -42,24 +40,14 @@ def main():
     args = p.parse_args()
     cfg = config_from_args(args)
 
-    model, variables, key = build_model_and_params(cfg, args.weights,
-                                                   args.train_ps)
-    is_ffa = cfg.model.arch == "ffa"
-
-    def apply_fn(x):
-        if is_ffa:
-            # fold the FFA hazy-input normalization into the artifact so
-            # serving needs no protocol knowledge (FFA test.py:52-55)
-            from dehaze_tpu.train.ffa_trainer import normalize_hazy
-
-            x = normalize_hazy(x)
-        return model.apply(variables, x, train=False, rngs={"sample": key})
-
-    if is_ffa:
-        run = make_native_image_fn(apply_fn)
+    # the FFA hazy-input normalization folds into the artifact so serving
+    # needs no protocol knowledge (FFA test.py:52-55)
+    fwd = resolve_forward(args, cfg)
+    if fwd.is_ffa:
+        run = make_native_image_fn(fwd.apply_fn)
         canvas = "native"
     else:
-        run = make_whole_image_fn(apply_fn, args.height, args.width,
+        run = make_whole_image_fn(fwd.apply_fn, args.height, args.width,
                                   args.train_ps, square=args.square)
         canvas = "square" if args.square else "rect"
 

@@ -12,11 +12,15 @@ framework's offline/batch mode and this is the request/response mode.
 stdlib http.server only — no new dependencies. IO threads overlap; the
 single accelerator is serialized behind a lock (one in-flight forward;
 whole-image latency is the unit of service). With `--weights`, forwards
-are built per request geometry and cached; with `--exported`, requests
-must match the artifact's baked geometry (400 otherwise).
+are built per request geometry and LRU-cached (`--max_geometries`); with
+`--exported`, requests must match the artifact's baked geometry (400
+otherwise). Decoded frames are capped at `--max_pixels` so a small
+decompression-bomb payload cannot OOM the host or trigger an unbounded
+XLA compile.
 """
 
 import argparse
+import collections
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -24,64 +28,60 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import jax.numpy as jnp
 import numpy as np
 
-from dehaze_tpu.cli.common import (add_common_args, build_model_and_params,
-                                    config_from_args)
+from dehaze_tpu.cli.common import (add_common_args, config_from_args,
+                                    resolve_forward)
 from dehaze_tpu.data.images import decode_img, encode_img
 
 
 def build_dehaze_fn(args, cfg):
     """→ (dehaze(img_f32) -> uint8 RGB, info dict). Split from main() for
     in-process tests."""
-    runs = {}
-    info = {"arch": cfg.model.arch, "served": 0}
+    from dehaze_tpu.infer.tiled import (make_native_image_fn,
+                                        make_whole_image_fn, quantize_u8)
 
-    if args.exported:
-        from dehaze_tpu.infer.export import load_exported
+    fwd = resolve_forward(args, cfg)
+    info = {"arch": cfg.model.arch if fwd.mode == "weights" else
+            fwd.meta["arch"], "served": 0}
+    max_geoms = max(1, getattr(args, "max_geometries", 8))
+    runs = collections.OrderedDict()  # LRU: geometry -> quantized forward
 
-        base_fn, meta = load_exported(args.exported)
-        baked = (meta["height"], meta["width"])
-        info["arch"] = meta["arch"]
-        info["geometry"] = list(baked)
+    if fwd.mode == "exported":
+        info["geometry"] = list(fwd.baked_hw)
+        exported_u8 = quantize_u8(fwd.base_fn)
 
         def get_run(h, w):
-            if (h, w) != baked:
+            if (h, w) != fwd.baked_hw:
                 raise ValueError(
                     f"frame is {h}x{w} but the exported artifact bakes "
-                    f"{baked[0]}x{baked[1]}")
-            return base_fn
+                    f"{fwd.baked_hw[0]}x{fwd.baked_hw[1]}")
+            return exported_u8
     else:
-        model, variables, key = build_model_and_params(cfg, args.weights,
-                                                       args.train_ps)
-        is_ffa = cfg.model.arch == "ffa"
-
-        def apply_fn(x):
-            if is_ffa:
-                from dehaze_tpu.train.ffa_trainer import normalize_hazy
-
-                x = normalize_hazy(x)
-            return model.apply(variables, x, train=False,
-                               rngs={"sample": key})
-
-        from dehaze_tpu.infer.tiled import (make_native_image_fn,
-                                            make_whole_image_fn)
-
         def get_run(h, w):
-            if (h, w) not in runs:
-                runs[(h, w)] = (
-                    make_native_image_fn(apply_fn) if is_ffa
-                    else make_whole_image_fn(apply_fn, h, w, args.train_ps,
-                                             square=args.square))
+            if (h, w) in runs:
+                runs.move_to_end((h, w))
+            else:
+                base = (make_native_image_fn(fwd.apply_fn) if fwd.is_ffa
+                        else make_whole_image_fn(fwd.apply_fn, h, w,
+                                                 args.train_ps,
+                                                 square=args.square))
+                runs[(h, w)] = quantize_u8(base)
+                while len(runs) > max_geoms:  # bound compiled-exec memory
+                    runs.popitem(last=False)
             return runs[(h, w)]
 
+    max_pixels = getattr(args, "max_pixels", 33_554_432)
     device_lock = threading.Lock()
 
     def dehaze(img: np.ndarray) -> np.ndarray:
         h, w = img.shape[:2]
+        if h * w > max_pixels:
+            raise ValueError(f"decoded frame {h}x{w} exceeds the "
+                             f"--max_pixels cap ({max_pixels})")
         run = get_run(h, w)
         with device_lock:  # one in-flight forward on the single chip
             out = np.asarray(run(jnp.asarray(img)[None])[0])
-        info["served"] += 1
-        return np.clip(out * 255.0 + 0.5, 0, 255).astype(np.uint8)
+            info["served"] += 1
+        return out
 
     return dehaze, info
 
@@ -109,17 +109,20 @@ def make_handler(dehaze, info):
             if self.path != "/dehaze":
                 self._send(404, b"not found", "text/plain")
                 return
-            n = int(self.headers.get("Content-Length", 0))
-            if not 0 < n <= 256 * 1024 * 1024:
-                self._send(400, b"missing or oversized body", "text/plain")
-                return
             try:
-                img = decode_img(self.rfile.read(n))
-                out = dehaze(img)
-            except ValueError as e:
-                self._send(400, str(e).encode(), "text/plain")
-                return
-            self._send(200, encode_img(out), "image/png")
+                n = int(self.headers.get("Content-Length", 0))
+                if not 0 < n <= 256 * 1024 * 1024:
+                    self._send(400, b"missing or oversized body",
+                               "text/plain")
+                    return
+                out = dehaze(decode_img(self.rfile.read(n)))
+                body, code, ctype = encode_img(out), 200, "image/png"
+            except ValueError as e:  # undecodable / wrong geometry / cap
+                body, code, ctype = str(e).encode(), 400, "text/plain"
+            except Exception as e:  # forward/encode failure: answer, don't
+                body = f"{type(e).__name__}: {e}".encode()  # drop the socket
+                code, ctype = 500, "text/plain"
+            self._send(code, body, ctype)
 
     return Handler
 
@@ -134,10 +137,14 @@ def main():
     p.add_argument("--port", type=int, default=8350)
     p.add_argument("--square", action="store_true",
                    help="reference square-canvas protocol (default: rect)")
+    p.add_argument("--max_pixels", type=int, default=33_554_432,
+                   help="reject decoded frames above this pixel count "
+                        "(decompression-bomb guard)")
+    p.add_argument("--max_geometries", type=int, default=8,
+                   help="LRU cap on per-geometry compiled forwards "
+                        "(--weights mode)")
     args = p.parse_args()
     cfg = config_from_args(args)
-    if (args.weights is None) == (args.exported is None):
-        raise SystemExit("pass exactly one of --weights / --exported")
 
     dehaze, info = build_dehaze_fn(args, cfg)
     server = ThreadingHTTPServer((args.host, args.port),

@@ -13,11 +13,8 @@ Prints one summary line with the sustained Mpix/s (decode+compute+encode).
 import argparse
 import os
 
-import jax
-import jax.numpy as jnp
-
-from dehaze_tpu.cli.common import (add_common_args, build_model_and_params,
-                                    config_from_args)
+from dehaze_tpu.cli.common import (add_common_args, config_from_args,
+                                    resolve_forward)
 from dehaze_tpu.infer.stream import stream_dehaze
 
 
@@ -35,30 +32,9 @@ def main():
                         "(default: rectangular wrap-pad, same crop, faster)")
     args = p.parse_args()
     cfg = config_from_args(args)
-    if (args.weights is None) == (args.exported is None):
-        raise SystemExit("pass exactly one of --weights / --exported")
 
-    base_fn = base_hw = None
-    apply_fn = None
-    if args.exported:
-        from dehaze_tpu.infer.export import load_exported
-
-        base_fn, meta = load_exported(args.exported)
-        base_hw = (meta["height"], meta["width"])
-        is_ffa = meta["arch"] == "ffa"
-    else:
-        model, variables, key = build_model_and_params(cfg, args.weights,
-                                                       args.train_ps)
-        is_ffa = cfg.model.arch == "ffa"
-
-        def apply_fn(x):
-            if is_ffa:
-                # FFA protocol: hazy-only normalization (FFA test.py:52-55)
-                from dehaze_tpu.train.ffa_trainer import normalize_hazy
-
-                x = normalize_hazy(x)
-            return model.apply(variables, x, train=False,
-                               rngs={"sample": key})
+    fwd = resolve_forward(args, cfg)
+    is_ffa = fwd.is_ffa
 
     src = args.input_dir
     sub = os.path.join(src, "HAZY")
@@ -85,9 +61,9 @@ def main():
 
         mesh = make_mesh(args.data_axis)
 
-    stats = stream_dehaze(apply_fn, frames, ps=args.train_ps,
+    stats = stream_dehaze(fwd.apply_fn, frames, ps=args.train_ps,
                           square=args.square, native=is_ffa, mesh=mesh,
-                          base_fn=base_fn, base_hw=base_hw)
+                          base_fn=fwd.base_fn, base_hw=fwd.baked_hw)
     canvas = ("exported" if args.exported
               else "native" if is_ffa
               else "square" if args.square else "rect")

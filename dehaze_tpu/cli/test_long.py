@@ -8,12 +8,11 @@ published-number protocol, README.md:145-161).
 import argparse
 import os
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dehaze_tpu.cli.common import (add_common_args, build_model_and_params,
-                                    config_from_args)
+from dehaze_tpu.cli.common import (add_common_args, config_from_args,
+                                    resolve_forward)
 from dehaze_tpu.data.images import save_img
 from dehaze_tpu.data.pipeline import PairedFolder, val_images
 from dehaze_tpu.infer.tiled import make_native_image_fn, make_whole_image_fn
@@ -53,24 +52,21 @@ def main():
     args = p.parse_args()
     cfg = config_from_args(args)
 
-    if (args.weights is None) == (args.exported is None):
-        raise SystemExit("pass exactly one of --weights / --exported")
-
     folder = PairedFolder(args.input_dir)
     os.makedirs(args.result_dir, exist_ok=True)
+    fwd = resolve_forward(args, cfg, ffa_normalize=args.ffa_normalize)
 
-    if args.exported:
+    if fwd.mode == "exported":
         # artifact eval: the canvas protocol, normalization and geometry
         # are baked into the compiled module — mesh/canvas flags don't
         # apply (re-export for a different configuration)
-        if args.bands or args.data_axis or args.rect_canvas:
+        if ((args.bands and args.bands > 1)
+                or (args.data_axis and args.data_axis > 1)
+                or args.rect_canvas):
             raise SystemExit("--exported bakes its canvas and serves "
                              "single-device; drop --bands/--data_axis/"
                              "--rect_canvas")
-        from dehaze_tpu.infer.export import load_exported
-
-        exported_fn, exported_meta = load_exported(args.exported)
-        exported_hw = (exported_meta["height"], exported_meta["width"])
+        exported_fn, exported_hw = fwd.base_fn, fwd.baked_hw
 
         psnrs, ssims = [], []
         for clean, hazy, name in val_images(folder):
@@ -91,18 +87,8 @@ def main():
         print(f"PSNR: {np.mean(psnrs):.6f}, SSIM: {np.mean(ssims):.6f}")
         return
 
-    model, variables, key = build_model_and_params(cfg, args.weights,
-                                                   args.train_ps)
-
-    is_ffa = cfg.model.arch == "ffa"
-
-    def apply_fn(x):
-        if is_ffa and args.ffa_normalize:
-            # reference FFA test.py:52-55 Normalize(mean, std) on hazy only
-            from dehaze_tpu.train.ffa_trainer import normalize_hazy
-
-            x = normalize_hazy(x)
-        return model.apply(variables, x, train=False, rngs={"sample": key})
+    is_ffa = fwd.is_ffa
+    apply_fn, variables = fwd.apply_fn, fwd.variables
 
     # FFA protocol: raw-resolution forward, no canvas (FFA_model/test.py:
     # 49-60; fully convolutional) — one shape-polymorphic jitted fn. Other

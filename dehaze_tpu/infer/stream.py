@@ -17,13 +17,13 @@ from __future__ import annotations
 
 import concurrent.futures as cf
 import time
-from typing import Callable, Dict, Iterable, Iterator, Optional, Tuple
+from typing import Callable, Dict, Iterable, Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dehaze_tpu.infer.tiled import make_native_image_fn, make_whole_image_fn
+from dehaze_tpu.infer.tiled import (make_native_image_fn,
+                                    make_whole_image_fn, quantize_u8)
 
 
 def _decoded_frames(frames, dec, load_fn, lookahead):
@@ -109,14 +109,7 @@ def stream_dehaze(
             else:
                 base = make_whole_image_fn(apply_fn, h, w, ps, square=square)
 
-            # quantize to uint8 ON DEVICE (same rounding as
-            # data.images.save_img): 4x less device->host traffic per frame
-            # — PCIe on real hardware, the HTTP relay tunnel here
-            def run_u8(x, _base=base):
-                y = jnp.clip(_base(x), 0.0, 1.0)
-                return jnp.clip(y * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
-
-            runs[(h, w)] = jax.jit(run_u8)
+            runs[(h, w)] = quantize_u8(base)
         return runs[(h, w)]
 
     total_pix = 0

@@ -113,6 +113,22 @@ def make_native_image_fn(
     return run
 
 
+def quantize_u8(
+    base: Callable[[jnp.ndarray], jnp.ndarray],
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Wrap a float forward to clip + quantize to uint8 ON DEVICE with
+    `data.images.save_img`'s exact rounding — 4× less device→host traffic
+    per frame (PCIe on real hosts, the HTTP relay tunnel here). Shared by
+    the streaming and HTTP serving paths."""
+
+    @jax.jit
+    def run(x):
+        y = jnp.clip(base(x), 0.0, 1.0)
+        return jnp.clip(y * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
+
+    return run
+
+
 def dehaze_whole_image(
     apply_fn: Callable[[jnp.ndarray], jnp.ndarray],
     img: np.ndarray,

@@ -166,8 +166,12 @@ class LeFF(nn.Module):
                 x.reshape(b * h * w, c))
             return y.reshape(b, h, w, self.out_dim)
         _wide = _os.environ.get("DEHAZE_TPU_LEFF_WIDE")
-        if (_wide and self.out_dim < 128
-                and self.out_dim >= int(_wide)):
+        # numeric value = minimum out_dim to pad; any other truthy string
+        # (the sibling FENCE/PAIRPACK flags accept those) means "all"
+        _wide_min = (int(_wide) if _wide and _wide.isdigit() else
+                     1 if _wide else None)
+        if (_wide_min is not None and self.out_dim < 128
+                and self.out_dim >= _wide_min):
             # MEASURED NEGATIVE (round 3, interleaved A/B vs 5.59-5.62
             # plain): zero-padded 128-lane linear2 — full lane occupancy
             # at 128/out_dim× FLOPs with NO input relayout (unlike

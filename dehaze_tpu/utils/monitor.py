@@ -19,7 +19,8 @@ def monitor_loop(interval: float = 20.0, cpu_sample_secs: float = 2.0,
     fh = open(log_path, "a") if log_path else None
     done = 0
     try:
-        while stop_event is None or not stop_event.is_set():
+        while ((stop_event is None or not stop_event.is_set())
+               and (max_iters is None or done < max_iters)):
             cpu = psutil.cpu_percent(interval=cpu_sample_secs)
             mem = psutil.virtual_memory().percent
             line = f"{time.strftime('%H:%M:%S')} cpu {cpu:5.1f}%  mem {mem:5.1f}%"

@@ -70,6 +70,48 @@ else:
             "slow: multi-minute tests (full-geometry parity oracles); "
             "deselect with -m 'not slow'")
 
+import pytest
+
+
+@pytest.fixture(scope="session")
+def tiny_uformer(tmp_path_factory):
+    """(ckpt_path, model, variables, key): the 32²/embed-8 f32 tiny Uformer
+    + saved checkpoint shared by the CLI-level test files."""
+    import jax
+    import jax.numpy as jnp
+
+    from dehaze_tpu.config import ModelConfig
+    from dehaze_tpu.models.uformer import Uformer
+    from dehaze_tpu.train.checkpoint import save_checkpoint
+
+    model = Uformer(ModelConfig(img_size=32, embed_dim=8, dtype=jnp.float32,
+                                drop_path_rate=0.0))
+    k = jax.random.PRNGKey(0)
+    v = jax.jit(lambda: model.init({"params": k, "sample": k},
+                                   jnp.zeros((1, 32, 32, 3))))()
+    path = str(tmp_path_factory.mktemp("tiny_uformer") / "w.msgpack")
+    save_checkpoint(path, 0, v["params"])
+    return path, model, v, k
+
+
+@pytest.fixture(scope="session")
+def cli_run():
+    """Run `python -m <module> ...` as a subprocess on the CPU backend and
+    return stdout (asserting rc == 0). Shared CLI-drive helper."""
+    import subprocess
+    import sys
+
+    def run(args, timeout=560):
+        r = subprocess.run(
+            [sys.executable, "-m"] + args, capture_output=True, text=True,
+            timeout=timeout,
+            env={**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": _REPO})
+        assert r.returncode == 0, (args[0], r.stderr[-2000:])
+        return r.stdout
+
+    return run
+
+
 if not _needs_reexec():
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
     flags = os.environ.get("XLA_FLAGS", "")

@@ -7,25 +7,12 @@ lock the user-facing entry points)."""
 
 import os
 import re
-import subprocess
-import sys
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 
-_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _TINY = ["--embed_dim", "8", "--train_ps", "32", "--dtype", "float32"]
-
-
-def _run(args, timeout=560):
-    r = subprocess.run(
-        [sys.executable, "-m"] + args, capture_output=True, text=True,
-        timeout=timeout,
-        env={**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": _REPO})
-    assert r.returncode == 0, (args[0], r.stderr[-2000:])
-    return r.stdout
 
 
 @pytest.fixture(scope="module")
@@ -45,26 +32,9 @@ def tiny_root(tmp_path_factory):
     return root
 
 
-@pytest.fixture(scope="module")
-def tiny_ckpt(tmp_path_factory):
-    from dehaze_tpu.config import ModelConfig
-    from dehaze_tpu.models.uformer import Uformer
-    from dehaze_tpu.train.checkpoint import save_checkpoint
-
-    d = tmp_path_factory.mktemp("clismoke_w")
-    model = Uformer(ModelConfig(img_size=32, embed_dim=8, dtype=jnp.float32,
-                                drop_path_rate=0.0))
-    k = jax.random.PRNGKey(0)
-    v = jax.jit(lambda: model.init({"params": k, "sample": k},
-                                   jnp.zeros((1, 32, 32, 3))))()
-    path = str(d / "w.msgpack")
-    save_checkpoint(path, 0, v["params"])
-    return path, v["params"]
-
-
-def test_cli_generate_patches(tiny_root, tmp_path):
+def test_cli_generate_patches(tiny_root, tmp_path, cli_run):
     tar = tmp_path / "patches"
-    out = _run(["dehaze_tpu.cli.generate_patches",
+    out = cli_run(["dehaze_tpu.cli.generate_patches",
                 "--src_dir", str(tiny_root / "train"),
                 "--tar_dir", str(tar), "--ps", "16", "--num_patches", "3",
                 "--num_cores", "1"])
@@ -73,15 +43,15 @@ def test_cli_generate_patches(tiny_root, tmp_path):
     assert len(list((tar / "hazy").glob("*.png"))) == 12
 
 
-def test_cli_params_flops():
-    out = _run(["dehaze_tpu.cli.params_flops"] + _TINY)
+def test_cli_params_flops(cli_run):
+    out = cli_run(["dehaze_tpu.cli.params_flops"] + _TINY)
     m = re.search(r"Total params: ([\d,]+)", out)
     assert m and int(m.group(1).replace(",", "")) > 10_000
     assert re.search(r"GFLOPs \(XLA cost analysis, 1 forward\): \d", out)
 
 
-def test_cli_train_one_epoch(tiny_root, tmp_path):
-    out = _run(["dehaze_tpu.cli.train",
+def test_cli_train_one_epoch(tiny_root, tmp_path, cli_run):
+    out = cli_run(["dehaze_tpu.cli.train",
                 "--train_dir", str(tiny_root / "train"),
                 "--val_dir", str(tiny_root / "val"),
                 "--nepoch", "1", "--batch_size", "2", "--train_workers", "1",
@@ -93,19 +63,19 @@ def test_cli_train_one_epoch(tiny_root, tmp_path):
     assert os.path.exists(m.group(2))
 
 
-def test_cli_stream(tiny_root, tiny_ckpt, tmp_path):
-    ckpt, _ = tiny_ckpt
+def test_cli_stream(tiny_root, tiny_uformer, cli_run, tmp_path):
+    ckpt = tiny_uformer[0]
     res = tmp_path / "streamed"
-    out = _run(["dehaze_tpu.cli.stream",
+    out = cli_run(["dehaze_tpu.cli.stream",
                 "--input_dir", str(tiny_root / "val" / "hazy"),
                 "--weights", ckpt, "--result_dir", str(res)] + _TINY)
     assert re.search(r"2 frames in \S+s = \S+ Mpix/s sustained", out)
     assert sorted(p.name for p in res.glob("*.png")) == ["0.png", "1.png"]
 
 
-def test_cli_test_anyres(tiny_root, tiny_ckpt, tmp_path):
-    ckpt, _ = tiny_ckpt
-    out = _run(["dehaze_tpu.cli.test_anyres",
+def test_cli_test_anyres(tiny_root, tiny_uformer, cli_run, tmp_path):
+    ckpt = tiny_uformer[0]
+    out = cli_run(["dehaze_tpu.cli.test_anyres",
                 "--input_dir", str(tiny_root / "val"),
                 "--weights", ckpt,
                 "--result_dir", str(tmp_path / "anyres")] + _TINY)
@@ -113,10 +83,10 @@ def test_cli_test_anyres(tiny_root, tiny_ckpt, tmp_path):
     assert m and np.isfinite(float(m.group(1)))
 
 
-def test_cli_trajectory(tiny_ckpt, tmp_path):
+def test_cli_trajectory(tiny_uformer, cli_run, tmp_path):
     from dehaze_tpu.train.checkpoint import save_checkpoint
 
-    _, params = tiny_ckpt
+    params = tiny_uformer[2]["params"]
     ckdir = tmp_path / "ck"
     ckdir.mkdir()
     # two "epochs" drifting toward a "best" point
@@ -125,7 +95,7 @@ def test_cli_trajectory(tiny_ckpt, tmp_path):
         save_checkpoint(str(ckdir / f"epoch_model_{e}.msgpack"), e, drifted)
     save_checkpoint(str(ckdir / "model_best.msgpack"), 2, params)
     out_png = tmp_path / "traj.png"
-    out = _run(["dehaze_tpu.cli.trajectory", "--ckpt_dir", str(ckdir),
+    out = cli_run(["dehaze_tpu.cli.trajectory", "--ckpt_dir", str(ckdir),
                 "--best", str(ckdir / "model_best.msgpack"),
                 "--out", str(out_png)] + _TINY)
     assert "2 checkpoints ->" in out
@@ -135,9 +105,9 @@ def test_cli_trajectory(tiny_ckpt, tmp_path):
     assert len(rs) == 2 and rs[1] < rs[0]
 
 
-def test_cli_monitor(tmp_path):
+def test_cli_monitor(tmp_path, cli_run):
     log = tmp_path / "mon.txt"
-    out = _run(["dehaze_tpu.cli.monitor", "--interval", "0.2", "--count", "2",
+    out = cli_run(["dehaze_tpu.cli.monitor", "--interval", "0.2", "--count", "2",
                 "--log", str(log)], timeout=60)
     lines = [ln for ln in out.splitlines() if "cpu" in ln and "mem" in ln]
     assert len(lines) == 2

@@ -5,30 +5,20 @@ without model code, (3) cross-platform-lowerable from a CPU build host,
 and (4) geometry-strict when served through the stream pipeline."""
 
 import os
-import subprocess
-import sys
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from dehaze_tpu.config import ModelConfig
 from dehaze_tpu.infer.export import (export_whole_image_bytes, load_exported,
                                      save_exported)
 from dehaze_tpu.infer.tiled import make_whole_image_fn
-from dehaze_tpu.models.uformer import Uformer
-
-_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 @pytest.fixture(scope="module")
-def tiny_run():
-    model = Uformer(ModelConfig(img_size=32, embed_dim=8, dtype=jnp.float32,
-                                drop_path_rate=0.0))
-    k = jax.random.PRNGKey(0)
-    v = jax.jit(lambda: model.init({"params": k, "sample": k},
-                                   jnp.zeros((1, 32, 32, 3))))()
+def tiny_run(tiny_uformer):
+    _, model, v, k = tiny_uformer
 
     def apply_fn(x):
         return model.apply(v, x, train=False, rngs={"sample": k})
@@ -77,16 +67,12 @@ def test_stream_geometry_mismatch(tiny_run, tmp_path):
                       base_fn=run, base_hw=(40, 56))
 
 
-def test_cli_export_then_stream(tiny_run, tmp_path):
+def test_cli_export_then_stream(tiny_run, tiny_uformer, cli_run, tmp_path):
     """User flow: checkpoint → cli.export artifact → cli.stream --exported;
     outputs must equal serving the checkpoint directly."""
     import cv2
 
-    from dehaze_tpu.train.checkpoint import save_checkpoint
-
-    _, v = tiny_run
-    ckpt = str(tmp_path / "w.msgpack")
-    save_checkpoint(ckpt, 0, v["params"])
+    ckpt = tiny_uformer[0]
     src = tmp_path / "hazy"
     src.mkdir()
     rng = np.random.default_rng(1)
@@ -94,46 +80,35 @@ def test_cli_export_then_stream(tiny_run, tmp_path):
         cv2.imwrite(str(src / f"{i}.png"),
                     (rng.uniform(size=(40, 56, 3)) * 255).astype(np.uint8))
 
-    env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": _REPO}
     tiny = ["--embed_dim", "8", "--train_ps", "32", "--dtype", "float32"]
     art = str(tmp_path / "m.dhz")
 
-    def run(args):
-        r = subprocess.run([sys.executable, "-m"] + args, env=env,
-                           capture_output=True, text=True, timeout=560)
-        assert r.returncode == 0, r.stderr[-2000:]
-        return r.stdout
-
-    out = run(["dehaze_tpu.cli.export", "--weights", ckpt, "--height", "40",
+    out = cli_run(["dehaze_tpu.cli.export", "--weights", ckpt, "--height", "40",
                "--width", "56", "--out", art] + tiny)
     assert "exported rect-canvas 40x56 uformer forward" in out
     assert os.path.getsize(art) > 1000
 
-    out = run(["dehaze_tpu.cli.stream", "--input_dir", str(src),
-               "--exported", art,
-               "--result_dir", str(tmp_path / "out_art")] + tiny)
+    out = cli_run(["dehaze_tpu.cli.stream", "--input_dir", str(src),
+                   "--exported", art,
+                   "--result_dir", str(tmp_path / "out_art")] + tiny)
     assert "exported canvas" in out
 
-    run(["dehaze_tpu.cli.stream", "--input_dir", str(src),
-         "--weights", ckpt,
-         "--result_dir", str(tmp_path / "out_ckpt")] + tiny)
+    cli_run(["dehaze_tpu.cli.stream", "--input_dir", str(src),
+             "--weights", ckpt,
+             "--result_dir", str(tmp_path / "out_ckpt")] + tiny)
     for i in range(2):
         a = cv2.imread(str(tmp_path / "out_art" / f"{i}.png"))
         b = cv2.imread(str(tmp_path / "out_ckpt" / f"{i}.png"))
         np.testing.assert_array_equal(a, b)
 
 
-def test_cli_test_long_exported(tiny_run, tmp_path):
+def test_cli_test_long_exported(tiny_uformer, cli_run, tmp_path):
     """Artifact metric validation: test_long --exported reproduces the
     --weights --rect_canvas metrics exactly (same baked canvas)."""
     import cv2
     import re
 
-    from dehaze_tpu.train.checkpoint import save_checkpoint
-
-    _, v = tiny_run
-    ckpt = str(tmp_path / "w.msgpack")
-    save_checkpoint(ckpt, 0, v["params"])
+    ckpt = tiny_uformer[0]
     rng = np.random.default_rng(2)
     for sub in ("gt", "hazy"):
         (tmp_path / "ds" / sub).mkdir(parents=True)
@@ -143,29 +118,26 @@ def test_cli_test_long_exported(tiny_run, tmp_path):
         cv2.imwrite(str(tmp_path / "ds" / "hazy" / f"{i}.png"),
                     np.clip(img * 0.7 + 40, 0, 255).astype(np.uint8))
 
-    env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": _REPO}
     tiny = ["--embed_dim", "8", "--train_ps", "32", "--dtype", "float32"]
     art = str(tmp_path / "m.dhz")
 
-    def run(args):
-        r = subprocess.run([sys.executable, "-m"] + args, env=env,
-                           capture_output=True, text=True, timeout=560)
-        assert r.returncode == 0, r.stderr[-2000:]
-        return r.stdout
-
-    run(["dehaze_tpu.cli.export", "--weights", ckpt, "--height", "40",
-         "--width", "56", "--out", art] + tiny)
-    out_a = run(["dehaze_tpu.cli.test_long", "--input_dir",
-                 str(tmp_path / "ds"), "--exported", art,
-                 "--result_dir", str(tmp_path / "ra")] + tiny)
-    out_w = run(["dehaze_tpu.cli.test_long", "--input_dir",
-                 str(tmp_path / "ds"), "--weights", ckpt, "--rect_canvas",
-                 "--result_dir", str(tmp_path / "rw")] + tiny)
+    cli_run(["dehaze_tpu.cli.export", "--weights", ckpt, "--height", "40",
+             "--width", "56", "--out", art] + tiny)
+    out_a = cli_run(["dehaze_tpu.cli.test_long", "--input_dir",
+                     str(tmp_path / "ds"), "--exported", art,
+                     "--result_dir", str(tmp_path / "ra")] + tiny)
+    out_w = cli_run(["dehaze_tpu.cli.test_long", "--input_dir",
+                     str(tmp_path / "ds"), "--weights", ckpt, "--rect_canvas",
+                     "--result_dir", str(tmp_path / "rw")] + tiny)
     summary = re.compile(r"PSNR: (\S+), SSIM: (\S+)")
     assert summary.search(out_a).groups() == summary.search(out_w).groups()
 
 
 def test_cli_stream_rejects_both_sources(tmp_path):
+    import subprocess
+    import sys
+
+    _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": _REPO}
     r = subprocess.run(
         [sys.executable, "-m", "dehaze_tpu.cli.stream", "--input_dir",

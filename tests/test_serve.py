@@ -12,28 +12,11 @@ from http.server import ThreadingHTTPServer
 from types import SimpleNamespace
 
 import cv2
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from dehaze_tpu.config import ModelConfig
-from dehaze_tpu.models.uformer import Uformer
-from dehaze_tpu.train.checkpoint import save_checkpoint
-
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
-
-@pytest.fixture(scope="module")
-def tiny_ckpt(tmp_path_factory):
-    model = Uformer(ModelConfig(img_size=32, embed_dim=8, dtype=jnp.float32,
-                                drop_path_rate=0.0))
-    k = jax.random.PRNGKey(0)
-    v = jax.jit(lambda: model.init({"params": k, "sample": k},
-                                   jnp.zeros((1, 32, 32, 3))))()
-    path = str(tmp_path_factory.mktemp("serve") / "w.msgpack")
-    save_checkpoint(path, 0, v["params"])
-    return path, model, v, k
 
 
 def _args(**kw):
@@ -50,10 +33,10 @@ def _cfg():
 
 
 @pytest.fixture()
-def server(tiny_ckpt):
+def server(tiny_uformer):
     from dehaze_tpu.cli.serve import build_dehaze_fn, make_handler
 
-    ckpt, *_ = tiny_ckpt
+    ckpt, *_ = tiny_uformer
     dehaze, info = build_dehaze_fn(_args(weights=ckpt), _cfg())
     srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(dehaze, info))
     t = threading.Thread(target=srv.serve_forever, daemon=True)
@@ -70,8 +53,8 @@ def _png(rng, h=40, w=56):
     return img, buf.tobytes()
 
 
-def test_healthz_and_dehaze(server, tiny_ckpt):
-    _, model, v, k = tiny_ckpt
+def test_healthz_and_dehaze(server, tiny_uformer):
+    _, model, v, k = tiny_uformer
     health = json.loads(urllib.request.urlopen(server + "/healthz",
                                                timeout=60).read())
     assert health["status"] == "ok" and health["arch"] == "uformer"
@@ -101,6 +84,27 @@ def test_healthz_and_dehaze(server, tiny_ckpt):
     assert health["served"] == 1
 
 
+def test_max_pixels_cap_400(tiny_uformer):
+    from dehaze_tpu.cli.serve import build_dehaze_fn, make_handler
+
+    ckpt, *_ = tiny_uformer
+    dehaze, info = build_dehaze_fn(_args(weights=ckpt, max_pixels=100),
+                                   _cfg())
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(dehaze, info))
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        _, payload = _png(np.random.default_rng(4))  # 40*56 px > 100 cap
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.server_port}/dehaze", data=payload,
+            method="POST")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=60)
+        assert e.value.code == 400 and b"max_pixels" in e.value.read()
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 def test_bad_payload_is_400(server):
     req = urllib.request.Request(server + "/dehaze", data=b"not an image",
                                  method="POST")
@@ -109,13 +113,13 @@ def test_bad_payload_is_400(server):
     assert e.value.code == 400
 
 
-def test_exported_geometry_400(tiny_ckpt, tmp_path):
+def test_exported_geometry_400(tiny_uformer, tmp_path):
     from dehaze_tpu.cli.serve import build_dehaze_fn, make_handler
     from dehaze_tpu.infer.export import (export_whole_image_bytes,
                                          save_exported)
     from dehaze_tpu.infer.tiled import make_whole_image_fn
 
-    _, model, v, k = tiny_ckpt
+    _, model, v, k = tiny_uformer
     run = make_whole_image_fn(
         lambda x: model.apply(v, x, train=False, rngs={"sample": k}),
         40, 56, 32, square=False)
@@ -145,9 +149,9 @@ def test_exported_geometry_400(tiny_ckpt, tmp_path):
         srv.server_close()
 
 
-def test_cli_serve_subprocess(tiny_ckpt):
+def test_cli_serve_subprocess(tiny_uformer):
     """The real user flow: launch the CLI, hit it over HTTP, shut down."""
-    ckpt, *_ = tiny_ckpt
+    ckpt, *_ = tiny_uformer
     env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": _REPO}
     proc = subprocess.Popen(
         [sys.executable, "-m", "dehaze_tpu.cli.serve", "--weights", ckpt,
