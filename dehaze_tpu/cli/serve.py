@@ -143,10 +143,34 @@ def main():
     p.add_argument("--max_geometries", type=int, default=8,
                    help="LRU cap on per-geometry compiled forwards "
                         "(--weights mode)")
+    p.add_argument("--precompile", default=None,
+                   help="compile before accepting traffic: 'auto' uses the "
+                        "artifact's baked geometry (--exported), or pass "
+                        "HxW (e.g. 1200x1600) — first-request compile can "
+                        "be minutes on a cold cache")
     args = p.parse_args()
     cfg = config_from_args(args)
 
     dehaze, info = build_dehaze_fn(args, cfg)
+    if args.precompile:
+        if args.precompile == "auto":
+            if "geometry" not in info:
+                raise SystemExit("--precompile auto needs --exported (no "
+                                 "baked geometry otherwise); pass "
+                                 "--precompile HxW")
+            wh, ww = info["geometry"]
+        else:
+            try:
+                wh, ww = (int(v) for v in args.precompile.lower().split("x"))
+            except ValueError:
+                raise SystemExit(f"--precompile expects 'auto' or HxW, got "
+                                 f"{args.precompile!r}")
+        import time
+
+        t0 = time.time()
+        dehaze(np.zeros((wh, ww, 3), np.float32))
+        info["served"] = 0  # warmup doesn't count as traffic
+        print(f"warmed {wh}x{ww} in {time.time() - t0:.1f}s", flush=True)
     server = ThreadingHTTPServer((args.host, args.port),
                                  make_handler(dehaze, info))
     print(f"serving {info['arch']} on http://{args.host}:{server.server_port}"

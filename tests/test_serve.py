@@ -150,15 +150,18 @@ def test_exported_geometry_400(tiny_uformer, tmp_path):
 
 
 def test_cli_serve_subprocess(tiny_uformer):
-    """The real user flow: launch the CLI, hit it over HTTP, shut down."""
+    """The real user flow: launch the CLI (with --precompile HxW so the first
+    request is pre-compiled), hit it over HTTP, shut down."""
     ckpt, *_ = tiny_uformer
     env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": _REPO}
     proc = subprocess.Popen(
         [sys.executable, "-m", "dehaze_tpu.cli.serve", "--weights", ckpt,
          "--port", "0", "--embed_dim", "8", "--train_ps", "32",
-         "--dtype", "float32"],
+         "--dtype", "float32", "--precompile", "40x56"],
         env=env, stdout=subprocess.PIPE, text=True)
     try:
+        line = proc.stdout.readline()  # "warmed 40x56 in Xs"
+        assert line.startswith("warmed 40x56"), line
         line = proc.stdout.readline()  # "serving ... on http://host:port ..."
         url = line.split("http://")[1].split()[0].rstrip("/")
         deadline = time.time() + 120
