@@ -37,6 +37,8 @@ def add_common_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
                         "+10%% whole-image throughput on TPU")
     p.add_argument("--ffa_gps", type=int, default=3)
     p.add_argument("--ffa_blocks", type=int, default=19)
+    p.add_argument("--ffa_dim", type=int, default=64,
+                   help="FFA conv width (reference FFA.py default 64)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize LeWin blocks in the backward pass "
                         "(fit per-chip batch 64/128 at 128² in HBM)")
@@ -82,7 +84,7 @@ def config_from_args(a: argparse.Namespace) -> Config:
             token_mlp=a.token_mlp, se_layer=a.se_layer, attention=a.attention,
             use_rel_pos_bias=not a.no_rel_pos_bias, dtype=dtype,
             fast_gelu=a.fast_gelu, remat=a.remat,
-            ffa_gps=a.ffa_gps, ffa_blocks=a.ffa_blocks,
+            ffa_gps=a.ffa_gps, ffa_blocks=a.ffa_blocks, ffa_dim=a.ffa_dim,
         ),
         loss=LossConfig(
             w_charbonnier=a.w_loss_CharbonnierLoss, w_contrast=a.w_loss_vgg7,

@@ -54,6 +54,8 @@ def main():
     platforms = args.platforms.split(",") if args.platforms else None
     blob = export_whole_image_bytes(run, args.height, args.width,
                                     platforms=platforms)
+    import jax
+
     meta = {
         "arch": cfg.model.arch,
         "height": args.height,
@@ -64,6 +66,12 @@ def main():
         "dtype": args.dtype,
         "platforms": platforms or ["default"],
         "weights": os.path.basename(args.weights),
+        # provenance: the build toolchain and the serialization contract
+        # version (jax.export guarantees compatibility windows per
+        # calling-convention version)
+        "jax_version": jax.__version__,
+        "calling_convention": (
+            jax.export.maximum_supported_calling_convention_version),
     }
     save_exported(args.out, blob, meta)
     print(f"exported {canvas}-canvas {args.height}x{args.width} "

@@ -133,6 +133,49 @@ def test_cli_test_long_exported(tiny_uformer, cli_run, tmp_path):
     assert summary.search(out_a).groups() == summary.search(out_w).groups()
 
 
+def test_cli_export_ffa_native(cli_run, tmp_path):
+    """FFA artifacts bake the native protocol + hazy normalize; test_long
+    --exported must reproduce the --weights eval exactly."""
+    import cv2
+    import re
+
+    from dehaze_tpu.config import ModelConfig
+    from dehaze_tpu.models import get_arch
+    from dehaze_tpu.train.checkpoint import save_checkpoint
+
+    model = get_arch(ModelConfig(arch="ffa", ffa_gps=3, ffa_blocks=1,
+                                 ffa_dim=16, dtype=jnp.float32))
+    v = jax.jit(lambda: model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 32, 32, 3))))()
+    ckpt = str(tmp_path / "ffa.msgpack")
+    save_checkpoint(ckpt, 0, v["params"])
+
+    rng = np.random.default_rng(3)
+    for sub in ("gt", "hazy"):
+        (tmp_path / "ds" / sub).mkdir(parents=True)
+    for i in range(2):
+        img = (rng.uniform(size=(40, 56, 3)) * 255).astype(np.uint8)
+        cv2.imwrite(str(tmp_path / "ds" / "gt" / f"{i}.png"), img)
+        cv2.imwrite(str(tmp_path / "ds" / "hazy" / f"{i}.png"),
+                    np.clip(img * 0.7 + 40, 0, 255).astype(np.uint8))
+
+    ffa = ["--arch", "ffa", "--ffa_blocks", "1", "--ffa_dim", "16",
+           "--dtype", "float32"]
+    art = str(tmp_path / "ffa.dhz")
+    out = cli_run(["dehaze_tpu.cli.export", "--weights", ckpt, "--height",
+                   "40", "--width", "56", "--out", art] + ffa)
+    assert "exported native-canvas 40x56 ffa forward" in out
+    out_a = cli_run(["dehaze_tpu.cli.test_long", "--input_dir",
+                     str(tmp_path / "ds"), "--exported", art,
+                     "--result_dir", str(tmp_path / "ra")] + ffa)
+    out_w = cli_run(["dehaze_tpu.cli.test_long", "--input_dir",
+                     str(tmp_path / "ds"), "--weights", ckpt,
+                     "--result_dir", str(tmp_path / "rw")] + ffa)
+    summary = re.compile(r"PSNR: (\S+), SSIM: (\S+)")
+    assert summary.search(out_a).groups() == summary.search(out_w).groups()
+
+
 def test_cli_stream_rejects_both_sources(tmp_path):
     import subprocess
     import sys
