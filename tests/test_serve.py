@@ -84,6 +84,27 @@ def test_healthz_and_dehaze(server, tiny_uformer):
     assert health["served"] == 1
 
 
+def test_concurrent_requests(server):
+    """ThreadingHTTPServer handlers overlap; the device lock + counter must
+    hold up: N concurrent POSTs all succeed and served counts exactly N."""
+    import concurrent.futures as cf
+
+    _, payload = _png(np.random.default_rng(7))
+
+    def post(_):
+        resp = urllib.request.urlopen(
+            urllib.request.Request(server + "/dehaze", data=payload,
+                                   method="POST"), timeout=600)
+        return resp.status
+
+    with cf.ThreadPoolExecutor(8) as ex:
+        codes = list(ex.map(post, range(16)))
+    assert codes == [200] * 16
+    health = json.loads(urllib.request.urlopen(server + "/healthz",
+                                               timeout=60).read())
+    assert health["served"] == 16
+
+
 def test_max_pixels_cap_400(tiny_uformer):
     from dehaze_tpu.cli.serve import build_dehaze_fn, make_handler
 
