@@ -247,3 +247,85 @@ def load_reference_ffa_checkpoint(path: str, **kw) -> Dict[str, Any]:
     payload = torch.load(path, map_location="cpu", weights_only=False)
     sd = payload.get("model", payload)
     return convert_ffa_state_dict(sd, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Classification zoo (SURVEY #36): generic name-mirrored converter
+# ---------------------------------------------------------------------------
+
+def convert_zoo_state_dict(state_dict: Mapping[str, Any], variables):
+    """Convert ANY reference zoo model's state_dict onto a dehaze_tpu.zoo
+    module's variables.
+
+    Works for every family because the zoo's flax child names mirror the
+    torch dotted parameter paths ("." → "_"): the underscore-joined flax
+    path of each leaf equals the torch name after leaf renaming
+    (weight→kernel/scale by ndim, running_mean/var→batch_stats mean/var).
+    Transforms by tensor rank:
+      1-D: copied (LN/BN weight→scale, biases, stats)
+      2-D Linear [out,in] → kernel [in,out]
+      3-D Conv1d [out,in,1] → kernel [in,out]  (Mixer token mix)
+      4-D Conv2d [out,in/g,kh,kw] → HWIO [kh,kw,in/g,out]
+
+    Raises if any torch tensor has no flax home or any flax leaf is left
+    unassigned (bijection check) — a failed conversion can't slip through.
+    `variables` is the module's init output ({'params': ..., 'batch_stats':
+    ...}); returns the same structure with converted arrays.
+    """
+    import jax.numpy as jnp
+    from flax import traverse_util
+
+    flat = {}
+    for col in variables:
+        for path, leaf in traverse_util.flatten_dict(variables[col]).items():
+            flat_key = "_".join(path)
+            assert flat_key not in flat, f"flax path collision: {flat_key}"
+            flat[flat_key] = (col, path, leaf)
+
+    out = {col: {} for col in variables}
+    assigned = set()
+    for name, t in state_dict.items():
+        name = name[len("module."):] if name.startswith("module.") else name
+        if name.endswith("num_batches_tracked"):
+            continue
+        w = np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
+        prefix, leaf = name.rsplit(".", 1) if "." in name else ("", name)
+        joined = prefix.replace(".", "_")
+
+        if leaf == "weight":
+            if w.ndim == 4:
+                key, val = f"{joined}_kernel", w.transpose(2, 3, 1, 0)
+            elif w.ndim == 3:
+                key, val = f"{joined}_kernel", w[:, :, 0].T
+            elif w.ndim == 2:
+                key, val = f"{joined}_kernel", w.T
+            else:
+                key, val = f"{joined}_scale", w
+        elif leaf == "bias":
+            key, val = f"{joined}_bias", w
+        elif leaf == "running_mean":
+            key, val = f"{joined}_mean", w
+        elif leaf == "running_var":
+            key, val = f"{joined}_var", w
+        else:  # cls_token / pos_embedding and friends keep their leaf name
+            key, val = name.replace(".", "_"), w
+
+        if key not in flat:
+            raise KeyError(f"torch param {name!r} has no flax home "
+                           f"(looked for {key!r})")
+        col, path, old = flat[key]
+        if tuple(old.shape) != tuple(val.shape):
+            raise ValueError(f"{name}: shape {val.shape} != flax "
+                             f"{tuple(old.shape)} at {key}")
+        d = out[col]
+        for p in path[:-1]:
+            d = d.setdefault(p, {})
+        d[path[-1]] = jnp.asarray(np.ascontiguousarray(val),
+                                  dtype=old.dtype)
+        assigned.add(key)
+
+    missing = set(flat) - assigned
+    if missing:
+        raise KeyError(f"flax leaves left unassigned: {sorted(missing)[:10]}"
+                       f"{' ...' if len(missing) > 10 else ''}")
+    return out

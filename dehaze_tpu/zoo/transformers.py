@@ -213,8 +213,8 @@ def abs_pos_embedding(self_mod, x, prefix: str, num_tokens: int, dim: int,
 # --------------------------------------------------------------------------
 
 class ViTZoo(nn.Module):
-    image_size: int = 32
-    patch_size: int = 2
+    image_size: int = 224
+    patch_size: int = 16
     num_classes: int = 10
     depth: int = 12
     dim: int = 192
@@ -255,9 +255,9 @@ class ViTZoo(nn.Module):
 # --------------------------------------------------------------------------
 
 class PiTZoo(nn.Module):
-    image_size: int = 32
-    patch_size: int = 2
-    stride: int = 1
+    image_size: int = 224
+    patch_size: int = 16
+    stride: int = 8
     num_classes: int = 10
     dims: Sequence[int] = (64, 128, 256)
     depths: Sequence[int] = (2, 6, 4)
@@ -493,8 +493,8 @@ def conv_attention2d(self_mod, x, prefix: str, dim_out: int, *, heads: int,
 
 
 class ConViTZoo(nn.Module):
-    image_size: int = 32
-    patch_size: int = 2
+    image_size: int = 224
+    patch_size: int = 16
     num_classes: int = 10
     depth: int = 12
     dim: int = 192
@@ -697,8 +697,8 @@ class _PreHost:
 # --------------------------------------------------------------------------
 
 class MixerZoo(nn.Module):
-    image_size: int = 32
-    patch_size: int = 2
+    image_size: int = 224
+    patch_size: int = 16
     num_classes: int = 10
     depth: int = 8
     hidden_dim: int = 256
