@@ -18,7 +18,18 @@ class AverageMeter:
         self.sum = 0.0
         self.sq_sum = 0.0
 
-    def update(self, value: float, n: int = 1):
+    def update(self, value, n: int = 1):
+        """Scalar: weighted by n. Array: element-weighted, like the
+        reference meter (`ops/meters.py:31-42` sums xs and counts xs.size) —
+        used by the zoo calibration harness for per-sample metric vectors."""
+        if hasattr(value, "size") and getattr(value, "size", 1) != 1:
+            import numpy as np
+
+            arr = np.asarray(value, dtype=np.float64)
+            self.count += arr.size
+            self.sum += float(arr.sum())
+            self.sq_sum += float(np.square(arr).sum())
+            return
         self.count += n
         self.sum += float(value) * n
         self.sq_sum += float(value) ** 2 * n

@@ -75,6 +75,9 @@ class ResNetZoo(nn.Module):
                 x = zl.bn(x, "layer0_1", train=train, dtype=dt)
                 x = nn.relu(x)
 
+        ti = 0
+        x = zl.tap(self, x, ti)
+        ti += 1
         sds = zl.stochastic_depths(self.sd, self.num_blocks)
         in_ch = 64
         for li, (n, out_ch, stride) in enumerate(zip(
@@ -84,6 +87,8 @@ class ResNetZoo(nn.Module):
                 s = stride if bi == 0 else 1
                 x = self._block(x, prefix, in_ch, out_ch, s, sds[li - 1][bi],
                                 train)
+                x = zl.tap(self, x, ti)
+                ti += 1
                 in_ch = out_ch * exp
             x = zl.smooth_layer(x, self.num_sblocks[li - 1])
 
@@ -211,6 +216,7 @@ class VGGZoo(nn.Module):
         dt = self.dtype
         x = x.astype(dt)
         widths = (64, 128, 256, 512, 512)
+        ti = 0
         for li, (n, w) in enumerate(zip(self.num_blocks, widths)):
             idx0 = 0
             if li > 0:  # `vggnet.py:43-44`: MaxPool is Sequential index 0
@@ -226,6 +232,8 @@ class VGGZoo(nn.Module):
                     x = nn.relu(zl.bn(x, f"{prefix}_bn", train=train, dtype=dt))
                 if self.mc_rate:  # `vggnet_mcdo_block.py:21`
                     x = zl.mc_dropout(self, x, self.mc_rate)
+                x = zl.tap(self, x, ti)
+                ti += 1
             x = zl.smooth_layer(x, self.num_sblocks[li])
 
         if self.cblock == "mlp":  # `vggnet.py:32-35`
@@ -253,13 +261,14 @@ class AlexNetZoo(nn.Module):
     stem: bool = False
     dtype: Dtype = jnp.float32
 
-    def _blk(self, x, prefix, features, kernel, stride, padding, train):
+    def _blk(self, x, prefix, features, kernel, stride, padding, train,
+             tap_idx):
         x = zl.conv(x, f"{prefix}_conv", features, kernel, stride=stride,
                     padding=padding, dtype=self.dtype)
         x = nn.relu(x)
         if self.mc_rate:  # `alexnet_mcdo_block.py`: after relu
             x = zl.mc_dropout(self, x, self.mc_rate)
-        return x
+        return zl.tap(self, x, tap_idx)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -267,19 +276,19 @@ class AlexNetZoo(nn.Module):
         x = x.astype(dt)
         pool_k = 3 if self.stem else 2
         if self.stem:
-            x = self._blk(x, "layer0_0", 64, 11, 4, 2, train)
+            x = self._blk(x, "layer0_0", 64, 11, 4, 2, train, 0)
         else:
-            x = self._blk(x, "layer0_0", 64, 3, 2, 1, train)
+            x = self._blk(x, "layer0_0", 64, 3, 2, 1, train, 0)
         x = zl.smooth_layer(x, self.num_sblocks[0])
 
         x = zl.max_pool(x, pool_k, 2)
-        x = self._blk(x, "layer1_1", 192, 5, 1, 2, train)
+        x = self._blk(x, "layer1_1", 192, 5, 1, 2, train, 1)
         x = zl.smooth_layer(x, self.num_sblocks[1])
 
         x = zl.max_pool(x, pool_k, 2)
-        x = self._blk(x, "layer2_1", 384, 3, 1, 1, train)
-        x = self._blk(x, "layer2_2", 256, 3, 1, 1, train)
-        x = self._blk(x, "layer2_3", 256, 3, 1, 1, train)
+        x = self._blk(x, "layer2_1", 384, 3, 1, 1, train, 2)
+        x = self._blk(x, "layer2_2", 256, 3, 1, 1, train, 3)
+        x = self._blk(x, "layer2_3", 256, 3, 1, 1, train, 4)
         x = zl.smooth_layer(x, self.num_sblocks[2])
 
         if self.cblock == "mlp":  # `alexnet.py:45-50`
@@ -313,6 +322,7 @@ class MobileNetZoo(nn.Module):
         x = zl.conv(x, "features_0_0", dim_in, 3, stride=2 if self.stem else 1,
                     padding=1, dtype=dt)
         x = zl.relu6(zl.bn(x, "features_0_1", train=train, dtype=dt))
+        x = zl.tap(self, x, 0)
 
         conf = [  # (t, c, n, s) — `mobilenet.py:123-131`
             (1, 16, 1, 1),
@@ -330,12 +340,14 @@ class MobileNetZoo(nn.Module):
                 x = self._inverted_block(
                     x, f"features_{idx}", dim_in, dim_out,
                     stride=s if i == 0 else 1, expand=t, train=train)
+                x = zl.tap(self, x, idx)
                 dim_in = dim_out
                 idx += 1
         dim_last = (zl.make_divisible(1280 * self.width_mult, min_value)
                     if self.width_mult > 1.0 else 1280)
         x = zl.conv(x, f"features_{idx}_0", dim_last, 1, dtype=dt)
         x = zl.relu6(zl.bn(x, f"features_{idx}_1", train=train, dtype=dt))
+        x = zl.tap(self, x, idx)
 
         # `mobilenet.py:113`: classifier = cblock(...) directly (no Sequential)
         return zl.gap_block(x, "classifier", self.num_classes, dtype=dt)

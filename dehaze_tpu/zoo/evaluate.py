@@ -1,0 +1,289 @@
+"""Calibration test harness (SURVEY #37, `ops/tests.py`).
+
+Reimplements the reference's uncertainty/calibration evaluation exactly:
+NLL on log-of-mean-softmax re-log-softmaxed (the reference feeds
+`torch.log(ys_pred)` back into CrossEntropyLoss, `tests.py:92`), cutoff
+confusion matrices, accuracy/unconfidence/mIoU/frequency per cutoff, top-5,
+Brier, 10-bin confidence histogram, ECE and signed ECE (`ecse`), plus the
+confidence-histogram + reliability-diagram figure. Metric functions are
+pure NumPy with the reference's signatures so they are oracle-testable
+against `ops/tests.py` directly.
+
+MC-dropout models average `n_ff` stochastic forward passes (`tests.py:83`);
+pass a `rng` for their dropout sampling.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dehaze_tpu.ops.meters import AverageMeter
+
+
+# --------------------------------------------------------------------------
+# metric primitives (`ops/tests.py:261-366`) — NumPy, reference signatures
+# --------------------------------------------------------------------------
+
+def brier(ys, ys_pred):
+    ys_onehot = np.eye(ys_pred.shape[1])[ys]
+    return (np.square(ys_onehot - ys_pred)).sum(axis=1)
+
+
+def topk(ys, ys_pred, k=5):
+    pred = ys_pred.argsort(axis=1)[:, -k:][:, ::-1]
+    return np.logical_or.reduce(pred == ys.reshape(-1, 1), axis=1)
+
+
+def cm(ys, ys_pred, filter_min=0.0, filter_max=1.0):
+    """Confusion matrix over predictions whose confidence ∈ (min, max]."""
+    num_classes = ys_pred.shape[1]
+    confidence = np.amax(ys_pred, axis=1)
+    pred = np.argmax(ys_pred, axis=1)
+    cond = np.logical_and(confidence > filter_min, confidence <= filter_max)
+    k = (ys >= 0) & (ys < num_classes) & cond
+    mat = np.bincount(num_classes * ys[k] + pred[k],
+                      minlength=num_classes ** 2)
+    return np.reshape(mat, [num_classes, num_classes])
+
+
+def ious(mat):
+    num = np.diag(mat)
+    den = np.sum(mat, axis=1) + np.sum(mat, axis=0) - np.diag(mat)
+    return np.divide(num, den, out=np.zeros_like(num, dtype=float),
+                     where=(den != 0))
+
+
+def miou(mat):
+    weights = [1 if w > 0 else 0 for w in np.sum(mat, axis=1)]
+    return (np.average(ious(mat), weights=weights) if np.sum(weights) > 0
+            else 0.0)
+
+
+def gacc(mat):
+    num = np.diag(mat).sum()
+    den = np.sum(mat)
+    return np.divide(num, den, out=np.zeros_like(num, dtype=float),
+                     where=(den != 0)).tolist()
+
+
+def caccs(mat):
+    accs = []
+    for i in range(np.shape(mat)[0]):
+        row = float(np.sum(mat, axis=1)[i])
+        accs.append(0.0 if row == 0 else np.diag(mat)[i] / (row + 1e-7))
+    return accs
+
+
+def unconfidence(cm_certain, cm_uncertain):
+    """p(unconfident | inaccurate)."""
+    inacc_cert = np.sum(cm_certain) - np.diag(cm_certain).sum()
+    inacc_unc = np.sum(cm_uncertain) - np.diag(cm_uncertain).sum()
+    return inacc_unc / (inacc_cert + inacc_unc + 1e-7)
+
+
+def frequency(cm_certain, cm_uncertain):
+    return np.sum(cm_certain) / (np.sum(cm_certain) + np.sum(cm_uncertain)
+                                 + 1e-7)
+
+
+def ece(count_bin, acc_bin, conf_bin):
+    count_bin, acc_bin, conf_bin = map(np.array,
+                                       (count_bin, acc_bin, conf_bin))
+    freq = np.nan_to_num(count_bin / (sum(count_bin) + 1e-7))
+    return np.sum(np.absolute(acc_bin - conf_bin) * freq)
+
+
+def ecse(count_bin, acc_bin, conf_bin):
+    """Signed ECE ("ECE±")."""
+    count_bin, acc_bin, conf_bin = map(np.array,
+                                       (count_bin, acc_bin, conf_bin))
+    freq = np.nan_to_num(count_bin / (sum(count_bin) + 1e-7))
+    return np.sum((conf_bin - acc_bin) * freq)
+
+
+# --------------------------------------------------------------------------
+# harness
+# --------------------------------------------------------------------------
+
+def _nll(ys_pred: np.ndarray, ys, ys_soft: Optional[np.ndarray],
+         smoothing: float) -> float:
+    """The reference's double-softmax NLL: CrossEntropyLoss(log(p̂), target)
+    == -Σ t · log_softmax(log p̂) (`tests.py:71-92`)."""
+    logp = np.log(ys_pred + 0.0)
+    logp = logp - logp.max(axis=1, keepdims=True)
+    logp = logp - np.log(np.exp(logp).sum(axis=1, keepdims=True))
+    c = ys_pred.shape[1]
+    if ys_soft is not None and ys_soft.ndim > 1:
+        t = ys_soft
+    elif smoothing > 0.0:
+        t = np.eye(c)[ys] * (1 - smoothing) + smoothing / c
+    else:
+        t = np.eye(c)[ys]
+    return float(np.mean(-np.sum(t * logp, axis=1)))
+
+
+def make_predict_fn(model, variables, n_ff: int = 1):
+    """jitted mean-of-softmax over n_ff forward passes (`tests.py:83-84`)."""
+
+    @jax.jit
+    def predict(x, rng):
+        def one(key):
+            return jax.nn.softmax(model.apply(
+                variables, x, train=False, rngs={"dropout": key}), axis=-1)
+
+        keys = jax.random.split(rng, n_ff)
+        return jnp.mean(jax.vmap(one)(keys), axis=0)
+
+    return predict
+
+
+def test(model, variables, dataset: Iterable[Tuple[np.ndarray, np.ndarray]],
+         n_ff: int = 1, transform: Optional[Callable] = None,
+         smoothing: float = 0.0, cutoffs=(0.0, 0.9),
+         bins=np.linspace(0.0, 1.0, 11), verbose: bool = False,
+         period: int = 10, rng=None, fig_path: Optional[str] = None):
+    """≙ `ops/tests.test` (`tests.py:19-149`). Returns the same metric tuple
+    (nll, cutoffs, cms, accs, uncs, ious, freqs, top5, brier, count_bin,
+    acc_bin, conf_bin, ece, ecse); writes the confidence-histogram +
+    reliability-diagram figure to fig_path if given."""
+    rng = jax.random.PRNGKey(0) if rng is None else rng
+    predict = None
+    num_classes = None
+
+    cms_groups = None
+    cms_bin = None
+    conf_acc_bin = None
+    nll_meter = AverageMeter("nll")
+    brier_meter = AverageMeter("brier")
+    topk_meter = AverageMeter("top5")
+    metrics = None
+
+    for step, (xs, ys) in enumerate(dataset):
+        rng, kt, kp = jax.random.split(rng, 3)
+        ys_soft = None
+        if transform is not None:
+            xs, ys_soft = transform(kt, jnp.asarray(xs), jnp.asarray(ys))
+            ys = np.argmax(np.asarray(ys_soft), axis=-1)  # `tests.py:74`
+            ys_soft = np.asarray(ys_soft)
+        if predict is None:
+            predict = make_predict_fn(model, variables, n_ff)
+        p = np.asarray(predict(jnp.asarray(xs), kp))
+        ys = np.asarray(ys)
+        if num_classes is None:
+            num_classes = p.shape[-1]
+            shape = [num_classes, num_classes]
+            cms_groups = [[np.zeros(shape), np.zeros(shape)]
+                          for _ in cutoffs]
+            cms_bin = [np.zeros(shape) for _ in range(len(bins) - 1)]
+            conf_acc_bin = [0.0 for _ in range(len(bins) - 1)]
+
+        nll_meter.update(_nll(p, ys, ys_soft, smoothing))
+        topk_meter.update(topk(ys, p))
+        brier_meter.update(brier(ys, p))
+
+        for cutoff, group in zip(cutoffs, cms_groups):
+            group[0] += cm(ys, p, filter_min=cutoff)
+            group[1] += cm(ys, p, filter_max=cutoff)
+        confidence = np.amax(p, axis=1)
+        for i, (lo, hi) in enumerate(zip(bins, bins[1:])):
+            cms_bin[i] += cm(ys, p, filter_min=lo, filter_max=hi)
+            cond = np.logical_and(confidence >= lo, confidence < hi)
+            conf_acc_bin[i] += np.sum(confidence[cond])
+
+        accs = [gacc(c) for c, _ in cms_groups]
+        iou_vals = [miou(c) for c, _ in cms_groups]
+        uncs = [unconfidence(c, u) for c, u in cms_groups]
+        freqs = [frequency(c, u) for c, u in cms_groups]
+        count_bin = [np.sum(c) for c in cms_bin]
+        acc_bin = [gacc(c) for c in cms_bin]
+        conf_bin = [ca / (cnt + 1e-7)
+                    for cnt, ca in zip(count_bin, conf_acc_bin)]
+        metrics = (nll_meter.avg, tuple(cutoffs), cms_groups, accs, uncs,
+                   iou_vals, freqs, topk_meter.avg, brier_meter.avg,
+                   count_bin, acc_bin, conf_bin,
+                   ece(count_bin, acc_bin, conf_bin),
+                   ecse(count_bin, acc_bin, conf_bin))
+        if verbose and (step + 1) % period == 0:
+            print(f"{step + 1} Steps, {repr_metrics(metrics)}")
+
+    if fig_path is not None and metrics is not None:
+        save_calibration_figure(metrics, fig_path)
+    return metrics
+
+
+def repr_metrics(metrics) -> str:
+    """≙ `tests.py:152-173`."""
+    (nll_value, cutoffs, _, accs, uncs, iou_vals, freqs, topk_value,
+     brier_value, _, _, _, ece_value, ecse_value) = metrics
+    reprs = [
+        ("NLL: %.4f" % nll_value) if nll_value > 0.01
+        else ("NLL: %.4e" % nll_value),
+        "Cutoffs: " + ", ".join("%.1f %%" % (c * 100) for c in cutoffs),
+        "Accs: " + ", ".join("%.3f %%" % (a * 100) for a in accs),
+        "Uncs: " + ", ".join("%.3f %%" % (u * 100) for u in uncs),
+        "IoUs: " + ", ".join("%.3f %%" % (i * 100) for i in iou_vals),
+        "Freqs: " + ", ".join("%.3f %%" % (f * 100) for f in freqs),
+        "Top-5: " + "%.3f %%" % (topk_value * 100),
+        "Brier: " + "%.3f" % brier_value,
+        "ECE: " + "%.3f %%" % (ece_value * 100),
+        "ECE±: " + "%.3f %%" % (ecse_value * 100),
+    ]
+    return ", ".join(reprs)
+
+
+def save_calibration_figure(metrics, path: str):
+    """Confidence histogram + reliability diagram (`tests.py:141-147,
+    370-402`)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    count_bin, acc_bin = metrics[9], metrics[10]
+    centers = np.linspace(0.05, 0.95, 10)
+    fig, axes = plt.subplots(1, 2, figsize=(10, 4))
+    freq = np.array(count_bin) / (sum(count_bin) + 1e-7)
+    axes[0].bar(centers * 100, freq * 100, width=10, color="tab:green",
+                edgecolor="black", alpha=0.8)
+    axes[0].set(xlim=(0, 100), ylim=(0, 100), xlabel="Confidence (%)",
+                ylabel="Frequency (%)")
+    guides = np.linspace(0.0, 1.0, 11)
+    axes[1].plot(guides * 100, guides * 100, linestyle=(0, (1, 1)),
+                 color="black")
+    axes[1].bar(centers * 100, np.array(acc_bin) * 100, width=10,
+                color="tab:red", edgecolor="black", alpha=0.8)
+    axes[1].set(xlim=(0, 100), ylim=(0, 100), xlabel="Confidence (%)",
+                ylabel="Accuracy (%)")
+    fig.tight_layout()
+    fig.savefig(path)
+    plt.close(fig)
+
+
+def test_perturbation(model, variables,
+                      sequences: Iterable[np.ndarray], n_ff: int = 1,
+                      rng=None) -> Tuple[float, float]:
+    """≙ `tests.test_perturbation` (`tests.py:177-207`): mean prediction
+    consistency and cross-entropy consistency (CEC) over CIFAR-10-P
+    perturbation sequences [B, T, H, W, C] (NHWC here)."""
+    rng = jax.random.PRNGKey(0) if rng is None else rng
+    cons_meter = AverageMeter("cons")
+    cec_meter = AverageMeter("cec")
+    predict = None
+    for xs in sequences:
+        b, t = xs.shape[0], xs.shape[1]
+        flat = jnp.asarray(xs.reshape((-1,) + xs.shape[2:]))
+        if predict is None:
+            predict = make_predict_fn(model, variables, n_ff)
+        rng, k = jax.random.split(rng)
+        p = np.asarray(predict(flat, k)).reshape(b, t, -1)
+        idx = np.argmax(p, axis=-1)
+        cons = np.mean((idx[:, 1:] == idx[:, :-1]).astype(np.float32),
+                       axis=-1)
+        cons_meter.update(cons)
+        cec = -np.mean(p[:, 1:] * np.log(p[:, :-1] + 0.0), axis=-1)
+        cec_meter.update(cec)
+    return cons_meter.avg, cec_meter.avg

@@ -263,4 +263,12 @@ def interpret_pad(image: int, kernel: int, stride: int, padding: int = 0):
     return (image - kernel + 2 * padding) // stride + 1
 
 
+def tap(self_mod, x, idx: int):
+    """Record a latent for the Fourier/variance analyses
+    (`fourier_analysis.ipynb` block outputs). No-op unless the caller runs
+    apply(..., mutable=["intermediates"]) — see zoo/fourier.collect_latents."""
+    self_mod.sow("intermediates", f"tap{idx}", x)
+    return x
+
+
 __all__ = [name for name in dir() if not name.startswith("_")]

@@ -112,6 +112,14 @@ def get_model(name: str, num_classes: int = 10, stem: bool = False,
     `train=` and rngs as needed (mcdo variants need a "dropout" rng, sd>0
     a "droppath" rng).
     """
+    try:
+        return _get_model(name, num_classes, stem, dtype, **block_kwargs)
+    except (KeyError, IndexError) as e:
+        raise NotImplementedError(
+            f"unknown model name {name!r} ({e!r})") from e
+
+
+def _get_model(name, num_classes, stem, dtype, **block_kwargs):
     parts = name.split("_")
     family = parts[0]
 

@@ -140,7 +140,8 @@ class _TokenDense(nn.Module):
 def transformer_1d(self_mod, x, prefix: str, *, dim_in: int,
                    dim_out: Optional[int], heads: int, dim_head: int,
                    dim_mlp: int, dropout: float, sd: float, train: bool,
-                   mask=None, dtype: Dtype = jnp.float32):
+                   mask=None, taps: Optional[Tuple[int, int]] = None,
+                   dtype: Dtype = jnp.float32):
     """`Transformer` (`attentions.py:104-135`) with attn=Attention1d,
     norm=LayerNorm, f=Linear — the ViT/PiT block."""
     dim_out = dim_in if dim_out is None else dim_out
@@ -153,11 +154,16 @@ def transformer_1d(self_mod, x, prefix: str, *, dim_in: int,
                        dim_head=dim_head, dropout=dropout, train=train,
                        mask=mask, dtype=dtype)
     x = zl.drop_path(self_mod, h, sd, train) + skip
+    if taps is not None:  # MSA-half latent (`fourier_analysis.ipynb` blocks)
+        x = zl.tap(self_mod, x, taps[0])
     skip = x
     h = zl.layer_norm(x, f"{prefix}_norm2", dtype=dtype)
     h = feed_forward(self_mod, h, f"{prefix}_ff", dim_mlp, dim_out,
                      dropout=dropout, train=train, dtype=dtype)
-    return zl.drop_path(self_mod, h, sd, train) + skip
+    x = zl.drop_path(self_mod, h, sd, train) + skip
+    if taps is not None:
+        x = zl.tap(self_mod, x, taps[1])
+    return x
 
 
 # --------------------------------------------------------------------------
@@ -239,12 +245,14 @@ class ViTZoo(nn.Module):
         x = abs_pos_embedding(self, x, "embedding_2", n + 1, self.dim)
         if self.emb_dropout > 0.0:
             x = nn.Dropout(self.emb_dropout)(x, deterministic=not train)
+        x = zl.tap(self, x, 0)
         for i in range(self.depth):
             sd_i = self.sd * i / (self.depth - 1) if self.depth > 1 else 0.0
             x = transformer_1d(
                 self, x, f"transformers_{i}", dim_in=self.dim, dim_out=None,
                 heads=self.heads, dim_head=self.dim_head, dim_mlp=self.dim_mlp,
-                dropout=self.dropout, sd=sd_i, train=train, dtype=dt)
+                dropout=self.dropout, sd=sd_i, train=train,
+                taps=(2 * i + 1, 2 * i + 2), dtype=dt)
         x = x[:, 0]
         x = zl.layer_norm(x, "classifier_1", dtype=dt)
         return zl.dense(x, "classifier_2", self.num_classes, dtype=dt)
@@ -289,10 +297,14 @@ class PiTZoo(nn.Module):
         sds = zl.stochastic_depths(self.sd, self.depths)
         idx = 0
         side = out
+        ti = 1
+        x = zl.tap(self, x, 0)
         for si in range(len(self.depths)):
             if si > 0:  # `pit.py:82-84`: Pool occupies a transformers index
                 x, side = self._pool(x, f"transformers_{idx}", dims[si],
                                      dims[si + 1], side)
+                x = zl.tap(self, x, ti)
+                ti += 1
                 idx += 1
             for bi in range(self.depths[si]):
                 x = transformer_1d(
@@ -300,7 +312,8 @@ class PiTZoo(nn.Module):
                     dim_out=None, heads=self.heads[si],
                     dim_head=self.dims_head[si], dim_mlp=self.dims_mlp[si],
                     dropout=self.dropout, sd=sds[si][bi], train=train,
-                    dtype=dt)
+                    taps=(ti, ti + 1), dtype=dt)
+                ti += 2
                 idx += 1
         x = x[:, 0]
         x = zl.layer_norm(x, "classifier_1", dtype=dt)
@@ -405,16 +418,21 @@ class SwinZoo(nn.Module):
         dt = self.dtype
         x = x.astype(dt)
         sds = zl.stochastic_depths(self.sd, self.depths)
+        ti = 0
         for li in range(4):
             pool = self.pools[li]
             x = nn.Conv(self.dims[li], (pool, pool), strides=(pool, pool),
                         dtype=dt,
                         name=f"layer{li + 1}_0_patch_merge")(x)
+            x = zl.tap(self, x, ti)
+            ti += 1
             for bi in range(self.depths[li] // 2 * 2):
                 x = self._block(x, f"layer{li + 1}_{bi + 1}", self.dims[li],
                                 self.heads[li], self.dims_mlp[li],
                                 shifted=bool(bi % 2), sd=sds[li][bi],
                                 train=train)
+                x = zl.tap(self, x, ti)
+                ti += 1
         x = jnp.mean(x, axis=(1, 2))
         x = zl.layer_norm(x, "classifier_2", dtype=dt)
         return zl.dense(x, "classifier_3", self.num_classes, dtype=dt)
@@ -526,9 +544,11 @@ class ConViTZoo(nn.Module):
             x = nn.Dropout(self.emb_dropout)(x, deterministic=not train)
         x = x.reshape(b, side, side, self.dim)
 
+        x = zl.tap(self, x, 0)
         for i in range(self.depth):
             sd_i = self.sd * i / (self.depth - 1) if self.depth > 1 else 0.0
             x = self._block(x, f"transformers_{i}", sd_i, train)
+            x = zl.tap(self, x, i + 1)
         x = jnp.mean(x, axis=(1, 2))
         x = zl.layer_norm(x, "classifier_2", dtype=dt)
         return zl.dense(x, "classifier_3", self.num_classes, dtype=dt)
@@ -612,6 +632,7 @@ class AlterNetZoo(nn.Module):
 
         sds = zl.stochastic_depths(self.sd, self.num_blocks)
         in_ch = 64
+        ti = 0
         for li, (n, n2, out_ch, stride) in enumerate(zip(
                 self.num_blocks, self.num_blocks2, (64, 128, 256, 512),
                 (1, 2, 2, 2)), start=1):
@@ -626,6 +647,8 @@ class AlterNetZoo(nn.Module):
                 else:
                     x = self._pre_block(x, prefix, in_ch, out_ch, s,
                                         sds[li - 1][bi], train)
+                x = zl.tap(self, x, ti)
+                ti += 1
                 in_ch = out_ch * exp
             # (smooth layers don't exist in alternet)
         return zl.bngap_block(x, "classifier_0", self.num_classes,
@@ -717,6 +740,7 @@ class MixerZoo(nn.Module):
         n = (self.image_size // self.patch_size) ** 2
         x = patch_embedding(self, x, "embedding_0", self.patch_size,
                             self.hidden_dim, dtype=dt)
+        x = zl.tap(self, x, 0)
         for i in range(self.depth):
             sd_i = self.sd * i / (self.depth - 1) if self.depth > 1 else 0.0
             prefix = f"mlps_{i}"
@@ -726,12 +750,14 @@ class MixerZoo(nn.Module):
                              dropout=self.dropout, train=train,
                              token_mix_in=n, dtype=dt)
             x = zl.drop_path(self, h, sd_i, train) + skip
+            x = zl.tap(self, x, 2 * i + 1)
             skip = x
             h = zl.layer_norm(x, f"{prefix}_norm2", dtype=dt)
             h = feed_forward(self, h, f"{prefix}_ff2", self.channel_dim,
                              self.hidden_dim, dropout=self.dropout,
                              train=train, dtype=dt)
             x = zl.drop_path(self, h, sd_i, train) + skip
+            x = zl.tap(self, x, 2 * i + 2)
         x = zl.layer_norm(x, "classifier_0", dtype=dt)
         x = jnp.mean(x, axis=1)
         return zl.dense(x, "classifier_2", self.num_classes, dtype=dt)

@@ -1,0 +1,108 @@
+"""CLI drive of the zoo harness: train → eval (ckpt + reliability figure +
+json) → fourier → attack → perturbation, plus the reference-schema YAML
+config overlay. One tiny ViT end-to-end on synthetic data."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory, cli_run):
+    out = tmp_path_factory.mktemp("zoo_cli")
+    cli_run(["dehaze_tpu.cli.zoo", "train", "--name", "vit_ti",
+             "--image_size", "32", "--patch_size", "8",
+             "--dataset", "synthetic", "--n_synth", "96",
+             "--epochs", "1", "--batch_size", "32", "--lr", "1e-3",
+             "--optimizer", "AdamW", "--out", str(out)])
+    assert (out / "best.msgpack").exists()
+    assert (out / "epoch_0.msgpack").exists()
+    return out
+
+
+COMMON = ["--name", "vit_ti", "--image_size", "32", "--patch_size", "8",
+          "--dataset", "synthetic", "--n_synth", "96", "--batch_size", "32"]
+
+
+def test_eval_cli(trained, cli_run, tmp_path):
+    fig = tmp_path / "rel.png"
+    js = tmp_path / "m.json"
+    outp = cli_run(["dehaze_tpu.cli.zoo", "eval", *COMMON,
+                    "--ckpt", str(trained / "best.msgpack"),
+                    "--fig", str(fig), "--json_out", str(js)])
+    assert "NLL:" in outp and "ECE:" in outp
+    assert fig.exists()
+    m = json.loads(js.read_text())
+    assert set(m) >= {"nll", "acc", "top5", "ece"}
+    assert 0.0 <= m["acc"] <= 1.0
+
+
+def test_fourier_cli(trained, cli_run, tmp_path):
+    out = tmp_path / "four"
+    outp = cli_run(["dehaze_tpu.cli.zoo", "fourier", *COMMON,
+                    "--ckpt", str(trained / "best.msgpack"),
+                    "--out", str(out)])
+    assert "latents" in outp
+    for f in ("fourier.png", "variance.png", "highfreq_delta.csv",
+              "variance.csv"):
+        assert (out / f).exists(), f
+    deltas = np.loadtxt(out / "highfreq_delta.csv", delimiter=",")
+    assert deltas.shape == (25,)  # embedding + 2 x 12 blocks
+
+
+def test_attack_cli(trained, cli_run):
+    outp = cli_run(["dehaze_tpu.cli.zoo", "attack", *COMMON,
+                    "--ckpt", str(trained / "best.msgpack"),
+                    "--method", "fgsm", "--eps", "0.05",
+                    "--n_examples", "32"])
+    assert "clean acc:" in outp and "adv acc:" in outp
+
+
+def test_perturbation_cli(trained, cli_run, tmp_path):
+    root = tmp_path / "data"
+    os.makedirs(root / "cifar-10-p")
+    rng = np.random.default_rng(0)
+    np.save(root / "cifar-10-p" / "gaussian_noise.npy",
+            rng.integers(0, 255, (4, 3, 32, 32, 3), dtype=np.uint8))
+    outp = cli_run(["dehaze_tpu.cli.zoo", "perturbation", "--name", "vit_ti",
+                    "--image_size", "32", "--patch_size", "8",
+                    "--root", str(root), "--batch_size", "2",
+                    "--ckpt", str(trained / "best.msgpack")])
+    assert "consistency:" in outp and "CEC:" in outp
+
+
+def test_yaml_config_overlay(cli_run, tmp_path):
+    """The reference configs/cifar10_vit.yaml schema drives the trainer."""
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text("""
+dataset:
+  name: synthetic
+train:
+  warmup_epochs: 1
+  epochs: 1
+  batch_size: 32
+  smoothing: 0.1
+  mixup:
+    mixup_alpha: 1.0
+    cutmix_alpha: 0.8
+    prob: 1.0
+model:
+  block:
+    image_size: 32
+    patch_size: 8
+optim:
+  name: AdamW
+  lr: 1.0e-3
+  weight_decay: 0.05
+  scheduler:
+    name: CosineAnnealingLR
+    T_max: 10
+""")
+    out = tmp_path / "ckpts"
+    outp = cli_run(["dehaze_tpu.cli.zoo", "train", "--name", "vit_ti",
+                    "--dataset", "synthetic", "--n_synth", "96",
+                    "--config", str(cfg), "--out", str(out)])
+    assert "Warmup epoch: 0" in outp and "Epoch: 1" in outp
+    assert (out / "best.msgpack").exists()

@@ -1,0 +1,136 @@
+"""Zoo registry coverage: every reference registry name constructs; tiny
+configs of each family run forward in eval and train mode; error paths."""
+
+import numpy as np
+import pytest
+
+
+def test_every_registry_name_constructs():
+    from dehaze_tpu.zoo import get_model, list_models
+
+    names = list_models()
+    assert len(names) > 150  # the reference registry's full name surface
+    for name in names:
+        m = get_model(name, num_classes=10)
+        assert m is not None, name
+
+
+def test_reference_registry_aliases():
+    from dehaze_tpu.zoo import get_model
+    from dehaze_tpu.zoo.convnets import ResNetZoo
+
+    a = get_model("resnet_18", num_classes=10)
+    b = get_model("resnet_dnn_18", num_classes=10)
+    assert isinstance(a, ResNetZoo) and a == b  # dataclass equality
+
+    mc = get_model("resnet_mcdo_18")
+    assert mc.mc_rate == 0.3  # `resnet_mcdo_block.py:11`
+    sm = get_model("seresnet_dnn_smoothing_34")
+    assert tuple(sm.num_sblocks) == (1, 1, 1, 1) and sm.gate == "se"
+    wide = get_model("wideresnet_dnn_50")
+    assert wide.width_per_group == 128
+    nxt = get_model("resnext_dnn_101")
+    assert (nxt.groups, nxt.width_per_group) == (32, 8)
+
+
+def test_uformer_informer_redirect():
+    from dehaze_tpu.zoo import get_model
+
+    with pytest.raises(ValueError, match="get_arch"):
+        get_model("Uformer_Informer")
+
+
+def test_unknown_name():
+    from dehaze_tpu.zoo import get_model
+
+    with pytest.raises(NotImplementedError):
+        get_model("resnet_dnn_19")
+    with pytest.raises(NotImplementedError):
+        get_model("not_a_model")
+
+
+def test_convit_padding_validation():
+    import jax
+    import jax.numpy as jnp
+
+    from dehaze_tpu.zoo.transformers import ConViTZoo
+
+    m = ConViTZoo(image_size=16, patch_size=4, depth=1, dim=16, heads=2,
+                  dim_head=8, dim_mlp=32, padding=0)
+    with pytest.raises(ValueError, match="padding"):
+        m.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)),
+               train=False)
+
+
+def test_swin_window_validation():
+    import jax
+    import jax.numpy as jnp
+
+    from dehaze_tpu.zoo.transformers import SwinZoo
+
+    m = SwinZoo(depths=(2, 2, 2, 2), dims=(8, 16, 32, 64),
+                heads=(1, 2, 4, 8), dims_mlp=(16, 32, 64, 128),
+                dim_head=8, window_size=3, pools=(2, 2, 2, 2))
+    with pytest.raises(ValueError, match="window"):
+        m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+               train=False)
+
+
+@pytest.mark.parametrize("case", [
+    ("resnet tiny", dict(family="resnet")),
+    ("mcdo tiny", dict(family="mcdo")),
+    ("vgg tiny", dict(family="vgg")),
+    ("mixer tiny", dict(family="mixer")),
+])
+def test_tiny_forward_train_and_eval(case):
+    import jax
+    import jax.numpy as jnp
+
+    from dehaze_tpu.zoo.convnets import ResNetZoo, VGGZoo
+    from dehaze_tpu.zoo.transformers import MixerZoo
+
+    name, cfg = case
+    if cfg["family"] == "resnet":
+        m = ResNetZoo(num_blocks=(1, 1, 1, 1), sd=0.1)
+    elif cfg["family"] == "mcdo":
+        m = ResNetZoo(num_blocks=(1, 1, 1, 1), mc_rate=0.3)
+    elif cfg["family"] == "vgg":
+        m = VGGZoo(num_blocks=(1, 1, 1, 1, 1))
+    else:
+        m = MixerZoo(image_size=32, patch_size=8, depth=2, hidden_dim=32,
+                     spatial_dim=16, channel_dim=64)
+
+    k = jax.random.PRNGKey(0)
+    x = jnp.asarray(np.random.default_rng(0).random(
+        (2, 32, 32, 3), dtype=np.float32))
+    v = m.init({"params": k, "dropout": k, "droppath": k}, x, train=False)
+    y = m.apply(v, x, train=False, rngs={"dropout": k})
+    assert y.shape == (2, 10) and bool(jnp.isfinite(y).all())
+
+    y2, mut = m.apply(v, x, train=True,
+                      rngs={"dropout": k, "droppath": k},
+                      mutable=["batch_stats"])
+    assert y2.shape == (2, 10)
+    if "batch_stats" in v:
+        # train mode must move the running stats
+        before = jax.tree_util.tree_leaves(v["batch_stats"])
+        after = jax.tree_util.tree_leaves(mut["batch_stats"])
+        assert any(np.abs(np.asarray(a) - np.asarray(b)).max() > 0
+                   for a, b in zip(before, after))
+
+
+def test_mcdo_stochastic_eval():
+    """MC dropout stays stochastic at eval (F.dropout training=True default,
+    `resnet_mcdo_block.py:44`)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dehaze_tpu.zoo.convnets import ResNetZoo
+
+    m = ResNetZoo(num_blocks=(1, 1, 1, 1), mc_rate=0.3)
+    k = jax.random.PRNGKey(0)
+    x = jnp.ones((2, 32, 32, 3)) * 0.3
+    v = m.init({"params": k, "dropout": k}, x, train=False)
+    y1 = m.apply(v, x, train=False, rngs={"dropout": jax.random.PRNGKey(1)})
+    y2 = m.apply(v, x, train=False, rngs={"dropout": jax.random.PRNGKey(2)})
+    assert np.abs(np.asarray(y1) - np.asarray(y2)).max() > 1e-6
