@@ -184,19 +184,47 @@ def cmd_eval(args, parser):
     from dehaze_tpu.zoo import evaluate as zeval
 
     args = _apply_config(args, parser)
-    if args.ctype:
-        nc = 100 if "100" in args.dataset else 10
-        x, y = zdata.load_cifar_c(args.root, args.ctype, args.intensity,
-                                  "cifar100" if nc == 100 else "cifar10")
+    if args.dataset == "imagenet":
+        # folder-streamed (ops/datasets.py:110-139 / ops/imagenetc.py)
+        size = args.image_size or 224
+        if args.ctype:
+            folder = os.path.join(args.root, "imagenetc", args.ctype,
+                                  str(args.intensity))
+            it = zdata.imagenet_c_batches(args.ctype, args.intensity,
+                                          args.batch_size, root=args.root,
+                                          size=size)
+        else:
+            folder = os.path.join(args.root, "imagenet", "val")
+            it = zdata.imagenet_batches(args.batch_size, root=args.root,
+                                        size=size)
+        classes, _ = zdata._list_image_folder(folder)
+        nc = len(classes)
+        first = next(iter(it))
+        model = _build(args, nc)
+        variables = _load_variables(args, model, first[0])
+
+        def chain():
+            yield first
+            yield from it
+
+        batch_iter = chain()
     else:
-        _, (x, y), nc, _ = zdata.get_dataset(args.dataset, args.root,
-                                             n_synth=args.n_synth)
-    model = _build(args, nc)
-    variables = _load_variables(args, model, x[: args.batch_size])
-    metrics = zeval.test(model, variables,
-                         zdata.batches(x, y, args.batch_size),
+        if args.ctype:
+            nc = 100 if "100" in args.dataset else 10
+            x, y = zdata.load_cifar_c(args.root, args.ctype, args.intensity,
+                                      "cifar100" if nc == 100 else "cifar10")
+        else:
+            _, (x, y), nc, _ = zdata.get_dataset(args.dataset, args.root,
+                                                 n_synth=args.n_synth)
+        model = _build(args, nc)
+        variables = _load_variables(args, model, x[: args.batch_size])
+        batch_iter = zdata.batches(x, y, args.batch_size)
+    metrics = zeval.test(model, variables, batch_iter,
                          n_ff=args.n_ff, fig_path=args.fig)
     print(zeval.repr_metrics(metrics))
+    if args.metrics_csv:
+        key = args.ctype or args.dataset
+        zeval.save_metrics(args.metrics_csv, [[key, *metrics]])
     if args.json_out:
         with open(args.json_out, "w") as f:
             json.dump({"nll": metrics[0], "acc": metrics[3][0],
@@ -284,6 +312,25 @@ def cmd_fourier(args, parser):
     print("highfreq_delta:", np.round(zf.high_freq_deltas(latents), 3))
 
 
+def cmd_predtime(args, parser):
+    """≙ `tests.test_prediction_time` + `models.stats`/`count_parameters`
+    (`tests.py:206-223`, `models/__init__.py:397-423`)."""
+    from dehaze_tpu.zoo import checkpoint as zckpt
+    from dehaze_tpu.zoo import data as zdata
+    from dehaze_tpu.zoo import evaluate as zeval
+
+    _, (x, _y), nc, _ = zdata.get_dataset(args.dataset, args.root,
+                                          n_synth=args.n_synth)
+    model = _build(args, nc)
+    variables = _load_variables(args, model, x[: args.batch_size])
+    size = (args.batch_size,) + x.shape[1:]
+    zckpt.stats(model, variables, x[:1], name=args.name)
+    meter = zeval.test_prediction_time(model, variables, input_size=size,
+                                       n=args.n, n_ff=args.n_ff)
+    imgs_per_s = args.batch_size / meter.avg
+    print(f"throughput: {imgs_per_s:.1f} img/s at batch {args.batch_size}")
+
+
 def main():
     top = argparse.ArgumentParser(description="classification zoo harness")
     sub = top.add_subparsers(dest="cmd", required=True)
@@ -310,6 +357,8 @@ def main():
     pe.add_argument("--intensity", type=int, default=1)
     pe.add_argument("--fig", default=None, help="reliability-diagram path")
     pe.add_argument("--json_out", default=None)
+    pe.add_argument("--metrics_csv", default=None,
+                    help="flattened metric row CSV (≙ tests.save_metrics)")
 
     pp = _common(sub.add_parser("perturbation"))
     pp.add_argument("--ptype", default="gaussian_noise")
@@ -328,12 +377,17 @@ def main():
     pf = _common(sub.add_parser("fourier"))
     pf.add_argument("--out", default="zoo_fourier")
 
+    pd = _common(sub.add_parser("predtime"))
+    pd.add_argument("--n", type=int, default=100,
+                    help="timed predictions (tests.py:206 n=100)")
+
     args = top.parse_args()
     # map subcommand to its own parser for config-default overlay
     parser = {"train": pt, "eval": pe, "perturbation": pp, "attack": pa,
-              "fourier": pf}[args.cmd]
+              "fourier": pf, "predtime": pd}[args.cmd]
     {"train": cmd_train, "eval": cmd_eval, "perturbation": cmd_perturbation,
-     "attack": cmd_attack, "fourier": cmd_fourier}[args.cmd](args, parser)
+     "attack": cmd_attack, "fourier": cmd_fourier,
+     "predtime": cmd_predtime}[args.cmd](args, parser)
 
 
 if __name__ == "__main__":

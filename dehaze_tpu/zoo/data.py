@@ -146,6 +146,100 @@ def load_cifar_p(root: str, ptype: str, base_folder: str = "cifar-10-p"):
     return _normalize(x, CIFAR10_MEAN, CIFAR10_STD)
 
 
+def _list_image_folder(path: str):
+    """torchvision ImageFolder semantics: classes = sorted subdir names,
+    targets by class index, files sorted within class."""
+    exts = (".png", ".jpg", ".jpeg", ".bmp", ".ppm", ".webp")
+    classes = sorted(d for d in os.listdir(path)
+                     if os.path.isdir(os.path.join(path, d)))
+    if not classes:
+        raise FileNotFoundError(f"no class subdirectories under {path}")
+    samples = []
+    for ci, c in enumerate(classes):
+        cdir = os.path.join(path, c)
+        for f in sorted(os.listdir(cdir)):
+            if f.lower().endswith(exts):
+                samples.append((os.path.join(cdir, f), ci))
+    return classes, samples
+
+
+def image_folder_batches(path: str, batch_size: int, *, size: int = 224,
+                         mean=IMAGENET_MEAN, std=IMAGENET_STD,
+                         indices=None) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Stream an ImageFolder directory as normalized NHWC batches using the
+    eval transform (`ops/datasets.py:128-130` transforms_imagenet_eval:
+    resize shorter side to size/0.875 then center-crop `size`). cv2 decode,
+    bounded memory — one batch in flight."""
+    import cv2
+
+    _, samples = _list_image_folder(path)
+    if indices is not None:
+        samples = [samples[i] for i in indices]
+    xs, ys = [], []
+    for fp, ci in samples:
+        img = cv2.imread(fp, cv2.IMREAD_COLOR)
+        if img is None:
+            raise IOError(f"failed to decode {fp}")
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        h, w = img.shape[:2]
+        short = int(round(size / 0.875))
+        scale = short / min(h, w)
+        img = cv2.resize(img, (max(short, int(round(w * scale))),
+                               max(short, int(round(h * scale)))),
+                         interpolation=cv2.INTER_LINEAR)
+        h, w = img.shape[:2]
+        y0, x0 = (h - size) // 2, (w - size) // 2
+        img = img[y0:y0 + size, x0:x0 + size]
+        xs.append(img.astype(np.float32) / 255.0)
+        ys.append(ci)
+        if len(xs) == batch_size:
+            yield _normalize(np.stack(xs), mean, std), np.asarray(ys, np.int32)
+            xs, ys = [], []
+    if xs:
+        yield _normalize(np.stack(xs), mean, std), np.asarray(ys, np.int32)
+
+
+def imagenet_batches(batch_size: int, *, root: str = "./data",
+                     base_folder: str = "imagenet", split: str = "val",
+                     size: int = 224):
+    """≙ `ops/datasets.get_imagenet` eval side (`datasets.py:110-139`):
+    `<root>/imagenet/{train,val}` ImageFolder, ImageNet normalize. (The timm
+    train-augmentation pipeline is replaced by the device-side
+    `augment_batch`/`mixup_cutmix` transforms the zoo trainer uses.)"""
+    path = os.path.join(root, base_folder, split)
+    return image_folder_batches(path, batch_size, size=size)
+
+
+def imagenet_c_batches(ctype: str, intensity: int, batch_size: int, *,
+                       root: str = "./data", base_folder: str = "imagenetc",
+                       size: int = 224):
+    """≙ `ops/imagenetc.ImageNetC` (`imagenetc.py:14-46`):
+    `<root>/imagenetc/<ctype>/<intensity>` ImageFolder."""
+    if ctype not in get_corruptions(extra=True):
+        raise ValueError(f"unknown corruption {ctype!r}; one of "
+                         f"{get_corruptions(extra=True)}")
+    path = os.path.join(root, base_folder, ctype, str(intensity))
+    return image_folder_batches(path, batch_size, size=size)
+
+
+def subsample(targets, ratio: float, random: bool = True, seed: int = 0):
+    """≙ `ops/datasets.subsample` (`datasets.py:141-162`): per-class
+    `int(size*ratio)` indices (random split or head slice); takes the label
+    array instead of a torch Dataset."""
+    idxs_sorted = {}
+    for idx, target in enumerate(np.asarray(targets)):
+        idxs_sorted.setdefault(int(target), []).append(idx)
+    rng = np.random.default_rng(seed)
+    out = []
+    for c, idxs in idxs_sorted.items():
+        n = int(len(idxs) * ratio)
+        if random:
+            out.extend(rng.permutation(idxs)[:n].tolist())
+        else:
+            out.extend(idxs[:n])
+    return out
+
+
 # --------------------------------------------------------------------------
 # batch iteration + on-device transforms
 # --------------------------------------------------------------------------

@@ -263,6 +263,59 @@ def save_calibration_figure(metrics, path: str):
     plt.close(fig)
 
 
+def test_prediction_time(model, variables, input_size=(1, 32, 32, 3),
+                         n: int = 100, n_ff: int = 1,
+                         rng=None) -> AverageMeter:
+    """≙ `tests.test_prediction_time` (`tests.py:206-223`): wall-clock per
+    mean-of-softmax prediction at `input_size` (NHWC here). Device-synced via
+    block_until_ready; one warmup excludes compile. Prints and returns the
+    meter (avg/std in seconds like the reference's)."""
+    import time
+
+    rng = jax.random.PRNGKey(0) if rng is None else rng
+    predict = make_predict_fn(model, variables, n_ff)
+    meter = AverageMeter("predict_times", "%.3f")
+    x0 = jax.random.uniform(rng, input_size)
+    predict(x0, rng).block_until_ready()
+    for i in range(n):
+        k = jax.random.fold_in(rng, i)
+        xs = jax.random.uniform(k, input_size)
+        xs.block_until_ready()
+        t = time.time()
+        predict(xs, k).block_until_ready()
+        meter.update(time.time() - t)
+    print("Time: %.3f±%.3f ms" % (meter.avg * 1e3, meter.std * 1e3))
+    return meter
+
+
+def save_lists(metrics_dir: str, metrics_list):
+    """≙ `tests.save_lists` (`tests.py:226-230`): raw csv rows."""
+    import csv
+
+    with open(metrics_dir, "w", newline="") as csvfile:
+        writer = csv.writer(csvfile)
+        for metrics in metrics_list:
+            writer.writerow(metrics)
+
+
+def save_metrics(metrics_dir: str, metrics_list):
+    """≙ `tests.save_metrics` (`tests.py:233-258`): each row is
+    [*keys, <metric tuple from test()>]; flattens to
+    [*keys, nll, *cutoffs, *accs, *uncs, *ious, *freqs, top5, brier,
+    ece, ecse] (the cms and histogram bins are dropped, like the
+    reference)."""
+    metrics_acc = []
+    for metrics in metrics_list:
+        (*keys, nll_value, cutoffs, _cms, accs, uncs, iou_vals, freqs,
+         topk_value, brier_value, _count_bin, _acc_bin, _conf_bin,
+         ece_value, ecse_value) = metrics
+        metrics_acc.append([
+            *keys, nll_value, *cutoffs, *accs, *uncs, *iou_vals, *freqs,
+            topk_value, brier_value, ece_value, ecse_value,
+        ])
+    save_lists(metrics_dir, metrics_acc)
+
+
 def test_perturbation(model, variables,
                       sequences: Iterable[np.ndarray], n_ff: int = 1,
                       rng=None) -> Tuple[float, float]:
