@@ -23,4 +23,5 @@ but never registered (swin / convit / alternet / mobilenet — their files
 exist at `models/swin.py` etc. with factory functions only).
 """
 
+from dehaze_tpu.zoo.ensemble import Ensemble  # noqa: F401
 from dehaze_tpu.zoo.registry import get_model, list_models  # noqa: F401
