@@ -25,24 +25,30 @@ import os
 import numpy as np
 
 
-def _model_kwargs(args):
+def _model_kwargs(args, sample_x=None):
     kw = {}
     for k in ("image_size", "patch_size", "window_size", "sd", "padding",
               "stride"):
         v = getattr(args, k, None)
         if v is not None:
             kw[k] = v
+    # the transformer families carry the reference's 224 default image_size
+    # (`vit.py:52`, etc.); pos-embed tables are sized from that attribute,
+    # so without --image_size the model must follow the loaded data's
+    # geometry (CIFAR/synthetic are 32², ImageNet eval 224²)
+    if sample_x is not None:
+        kw.setdefault("image_size", int(sample_x.shape[-3]))
     return kw
 
 
-def _build(args, num_classes):
+def _build(args, num_classes, sample_x=None):
     import jax.numpy as jnp
 
     from dehaze_tpu.zoo import get_model
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     return get_model(args.name, num_classes=num_classes, stem=args.stem,
-                     dtype=dtype, **_model_kwargs(args))
+                     dtype=dtype, **_model_kwargs(args, sample_x))
 
 
 def _load_variables(args, model, sample_x):
@@ -135,7 +141,7 @@ def cmd_train(args, parser):
     args = _apply_config(args, parser)
     (xtr, ytr), (xte, yte), nc, _ = zdata.get_dataset(
         args.dataset, args.root, n_synth=args.n_synth)
-    model = _build(args, nc)
+    model = _build(args, nc, xtr)
     steps_per_epoch = max(1, len(xtr) // args.batch_size)
     mesh = None
     if args.data_axis > 1:
@@ -200,7 +206,7 @@ def cmd_eval(args, parser):
         classes, _ = zdata._list_image_folder(folder)
         nc = len(classes)
         first = next(iter(it))
-        model = _build(args, nc)
+        model = _build(args, nc, first[0])
         variables = _load_variables(args, model, first[0])
 
         def chain():
@@ -216,7 +222,7 @@ def cmd_eval(args, parser):
         else:
             _, (x, y), nc, _ = zdata.get_dataset(args.dataset, args.root,
                                                  n_synth=args.n_synth)
-        model = _build(args, nc)
+        model = _build(args, nc, x)
         variables = _load_variables(args, model, x[: args.batch_size])
         batch_iter = zdata.batches(x, y, args.batch_size)
     metrics = zeval.test(model, variables, batch_iter,
@@ -239,7 +245,7 @@ def cmd_perturbation(args, parser):
 
     x = zdata.load_cifar_p(args.root, args.ptype)
     nc = 10
-    model = _build(args, nc)
+    model = _build(args, nc, x[0])
     variables = _load_variables(args, model, x[0])
     seqs = (x[i:i + args.batch_size] for i in range(0, len(x),
                                                     args.batch_size))
@@ -258,7 +264,7 @@ def cmd_attack(args, parser):
     _, (x, y), nc, _ = zdata.get_dataset(args.dataset, args.root,
                                          n_synth=args.n_synth)
     x, y = x[: args.n_examples], y[: args.n_examples]
-    model = _build(args, nc)
+    model = _build(args, nc, x)
     variables = _load_variables(args, model, x[: args.batch_size])
     rng = jax.random.PRNGKey(args.seed)
 
@@ -294,7 +300,7 @@ def cmd_fourier(args, parser):
 
     _, (x, y), nc, _ = zdata.get_dataset(args.dataset, args.root,
                                          n_synth=args.n_synth)
-    model = _build(args, nc)
+    model = _build(args, nc, x)
     variables = _load_variables(args, model, x[: args.batch_size])
     latents = zf.collect_latents(model, variables, x[: args.batch_size])
     deltas = zf.fourier_latents(latents)
@@ -321,7 +327,7 @@ def cmd_predtime(args, parser):
 
     _, (x, _y), nc, _ = zdata.get_dataset(args.dataset, args.root,
                                           n_synth=args.n_synth)
-    model = _build(args, nc)
+    model = _build(args, nc, x)
     variables = _load_variables(args, model, x[: args.batch_size])
     size = (args.batch_size,) + x.shape[1:]
     zckpt.stats(model, variables, x[:1], name=args.name)

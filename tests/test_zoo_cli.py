@@ -106,3 +106,13 @@ optim:
                     "--config", str(cfg), "--out", str(out)])
     assert "Warmup epoch: 0" in outp and "Epoch: 1" in outp
     assert (out / "best.msgpack").exists()
+
+
+def test_image_size_defaults_to_data_geometry(cli_run):
+    """Transformer families keep the reference's 224 image_size default
+    (`vit.py:52`); without --image_size the CLI must size pos-embed tables
+    from the loaded data (32² synthetic here), not the model default."""
+    outp = cli_run(["dehaze_tpu.cli.zoo", "predtime", "--name", "vit_ti",
+                    "--patch_size", "8", "--dataset", "synthetic",
+                    "--n_synth", "32", "--batch_size", "8", "--n", "2"])
+    assert "throughput:" in outp and "params:" in outp
