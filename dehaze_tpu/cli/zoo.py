@@ -337,7 +337,10 @@ def cmd_predtime(args, parser):
     print(f"throughput: {imgs_per_s:.1f} img/s at batch {args.batch_size}")
 
 
-def main():
+def build_parsers():
+    """Top-level parser + per-subcommand parsers (the latter are needed by
+    `_apply_config` to know each flag's default). Exposed for tests that
+    ingest the reference's own `configs/*.yaml`."""
     top = argparse.ArgumentParser(description="classification zoo harness")
     sub = top.add_subparsers(dest="cmd", required=True)
 
@@ -387,13 +390,16 @@ def main():
     pd.add_argument("--n", type=int, default=100,
                     help="timed predictions (tests.py:206 n=100)")
 
+    return top, {"train": pt, "eval": pe, "perturbation": pp, "attack": pa,
+                 "fourier": pf, "predtime": pd}
+
+
+def main():
+    top, parsers = build_parsers()
     args = top.parse_args()
-    # map subcommand to its own parser for config-default overlay
-    parser = {"train": pt, "eval": pe, "perturbation": pp, "attack": pa,
-              "fourier": pf, "predtime": pd}[args.cmd]
     {"train": cmd_train, "eval": cmd_eval, "perturbation": cmd_perturbation,
      "attack": cmd_attack, "fourier": cmd_fourier,
-     "predtime": cmd_predtime}[args.cmd](args, parser)
+     "predtime": cmd_predtime}[args.cmd](args, parsers[args.cmd])
 
 
 if __name__ == "__main__":

@@ -116,3 +116,47 @@ def test_image_size_defaults_to_data_geometry(cli_run):
                     "--patch_size", "8", "--dataset", "synthetic",
                     "--n_synth", "32", "--batch_size", "8", "--n", "2"])
     assert "throughput:" in outp and "params:" in outp
+
+
+REF_CFG = "/root/reference/how-do-vits-work-transformer/configs"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_CFG),
+                    reason="reference repo not mounted")
+@pytest.mark.parametrize("cfg", ["My_U_P_vit.yaml", "cifar10_vit.yaml",
+                                 "cifar100_vit.yaml", "imagenet_vit.yaml",
+                                 "cifar10_general.yaml"])
+def test_reference_yaml_configs_ingest(cfg):
+    """The reference's own configs/*.yaml files load through --config and
+    land on the train args (schema parity, `configs/My_U_P_vit.yaml` etc.)."""
+    import yaml
+
+    from dehaze_tpu.cli.zoo import _apply_config, build_parsers
+
+    path = os.path.join(REF_CFG, cfg)
+    top, parsers = build_parsers()
+    args = top.parse_args(["train", "--name", "vit_ti", "--config", path])
+    args = _apply_config(args, parsers["train"])
+
+    want = yaml.safe_load(open(path))
+    tr, opt = want.get("train", {}), want.get("optim", {})
+    if tr.get("epochs") is not None:
+        assert args.epochs == tr["epochs"]
+    if tr.get("batch_size") is not None:
+        assert args.batch_size == tr["batch_size"]
+    if tr.get("smoothing") is not None:
+        assert args.smoothing == tr["smoothing"]
+    if tr.get("max_norm") is not None:
+        assert args.max_norm == tr["max_norm"]
+    if opt.get("name") is not None:
+        assert args.optimizer == opt["name"]
+    if opt.get("lr") is not None:
+        assert args.lr == opt["lr"]
+    if opt.get("scheduler") is not None:
+        assert args.scheduler_cfg["name"] == opt["scheduler"]["name"]
+    mb = want.get("model", {}).get("block", {})
+    for k in ("image_size", "patch_size", "sd"):
+        if mb.get(k) is not None:
+            assert getattr(args, k) == mb[k], k
+    if tr.get("mixup") is not None:
+        assert args.mixup_cfg["mixup_alpha"] == tr["mixup"]["mixup_alpha"]
