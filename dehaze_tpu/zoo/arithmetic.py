@@ -35,14 +35,17 @@ def diff(ws1, ws2):
 def inner(ws1, ws2):
     """Global dot product: Σ over every leaf of Σ(w1·w2).
 
-    ≙ `ops/arithmetic.py:30-34` (per-key sums, then summed).
+    ≙ `ops/arithmetic.py:30-34` (per-key sums, then summed). Computed with
+    `tree_map` over both trees so a structure mismatch raises (the reference
+    KeyErrors on mismatched state_dicts) instead of silently pairing leaves.
     """
-    leaves1 = jax.tree_util.tree_leaves(ws1)
-    leaves2 = jax.tree_util.tree_leaves(ws2)
-    dot = jnp.zeros((), jnp.float32)
-    for a, b in zip(leaves1, leaves2):
-        dot = dot + jnp.sum(a.astype(jnp.float32) * b.astype(jnp.float32))
-    return dot
+    per_leaf = jax.tree_util.tree_map(
+        lambda a, b: jnp.sum(a.astype(jnp.float32) * b.astype(jnp.float32)),
+        ws1, ws2)
+    leaves = jax.tree_util.tree_leaves(per_leaf)
+    if not leaves:
+        return jnp.zeros((), jnp.float32)
+    return jnp.sum(jnp.stack(leaves))
 
 
 def norm(ws):
@@ -65,5 +68,8 @@ def sin(ws1, ws2):
     when cos ≥ 1 (the reference's data-dependent branch becomes `jnp.where`
     so this stays jittable)."""
     c = cos(ws1, ws2)
-    val = jnp.sqrt((1.0 + c) * (1.0 - c + 1e-7))
+    # Clamp INSIDE the sqrt too: jnp.where evaluates both branches, so a
+    # float-rounded cos slightly above 1 would push a negative argument
+    # through sqrt — fine for the value (masked) but NaN under autodiff.
+    val = jnp.sqrt(jnp.maximum((1.0 + c) * (1.0 - c + 1e-7), 0.0))
     return jnp.where(c < 1.0, val, jnp.zeros((), val.dtype))

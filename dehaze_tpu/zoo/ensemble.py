@@ -36,6 +36,19 @@ def combine_logits(member_logits: jnp.ndarray) -> jnp.ndarray:
     return jax.scipy.special.logsumexp(logp, axis=0)
 
 
+def _default_name(model) -> str:
+    """`<registry-name>_ensemble` like the reference (`ensemble.py:12-15`).
+
+    `zoo.get_model` stamps `registry_name` on the module; top-level Flax
+    modules have `name=None`, so falling back to the class name would give
+    'vitzoo_ensemble' instead of the reference's 'vit_ti_ensemble'.
+    """
+    base = (getattr(model, "registry_name", None)
+            or getattr(model, "name", None)
+            or type(model).__name__.lower())
+    return f"{base}_ensemble"
+
+
 def stack_variables(variables_list: Sequence[Any]):
     """Stack M same-structure variable pytrees along a new leading axis."""
     return jax.tree_util.tree_map(
@@ -57,16 +70,29 @@ class Ensemble:
         if not members:
             raise ValueError("Ensemble needs at least one (model, variables)")
         self.members = list(members)
-        first = self.members[0][0]
-        base = getattr(first, "name", None) or type(first).__name__.lower()
-        self.name = name if name is not None else f"{base}_ensemble"
+        self.num_members = len(self.members)
+        self.name = name if name is not None else _default_name(members[0][0])
         self._apply_kwargs = dict(apply_kwargs)
         self._stacked = None  # (model, stacked_variables) fast path
 
     @classmethod
     def stacked(cls, model, stacked_variables, name: Optional[str] = None,
                 **apply_kwargs):
-        ens = cls([(model, stacked_variables)], name=name, **apply_kwargs)
+        """Homogeneous fast path from `stack_variables` output.
+
+        Members stay OUT of `.members` (it lists only heterogeneous
+        (model, variables) pairs); `num_members` is the stacked leading axis.
+        """
+        leading = {int(l.shape[0])
+                   for l in jax.tree_util.tree_leaves(stacked_variables)}
+        if len(leading) != 1:
+            raise ValueError(
+                f"stacked variables have inconsistent leading axes {leading}")
+        ens = cls.__new__(cls)
+        ens.members = []
+        ens.num_members = leading.pop()
+        ens.name = name if name is not None else _default_name(model)
+        ens._apply_kwargs = dict(apply_kwargs)
         ens._stacked = (model, stacked_variables)
         return ens
 

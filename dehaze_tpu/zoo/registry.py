@@ -113,10 +113,17 @@ def get_model(name: str, num_classes: int = 10, stem: bool = False,
     a "droppath" rng).
     """
     try:
-        return _get_model(name, num_classes, stem, dtype, **block_kwargs)
+        model = _get_model(name, num_classes, stem, dtype, **block_kwargs)
     except (KeyError, IndexError) as e:
         raise NotImplementedError(
             f"unknown model name {name!r} ({e!r})") from e
+    # Stamp the registry name so downstream consumers (e.g. Ensemble's
+    # '<name>_ensemble' default, ≙ reference models/ensemble.py:12-15) can
+    # recover it; top-level Flax modules have name=None. object.__setattr__
+    # bypasses the frozen-dataclass guard; the attr is not a dataclass field
+    # so clone()/pytree behavior is unaffected.
+    object.__setattr__(model, "registry_name", name)
+    return model
 
 
 def _get_model(name, num_classes, stem, dtype, **block_kwargs):

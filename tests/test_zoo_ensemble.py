@@ -110,3 +110,40 @@ def test_arithmetic_matches_reference():
     # nested pytrees (Flax variables) work where the reference needed flat dicts
     assert float(arithmetic.norm(j2)) == pytest.approx(
         float(ref_arith.norm(t2)), rel=1e-5)
+
+
+def test_arithmetic_structure_mismatch_raises():
+    """Mismatched pytrees must error (≙ reference KeyError), not silently
+    truncate via zip over tree_leaves (ADVICE r3)."""
+    a = {"a": jnp.ones((2,)), "b": jnp.ones((3,))}
+    b = {"a": jnp.ones((2,)), "c": jnp.ones((3,))}
+    with pytest.raises((ValueError, KeyError, TypeError)):
+        arithmetic.inner(a, b)
+
+
+def test_sin_gradient_finite_at_identical_weights():
+    """grad(sin) must stay finite when cos rounds to >= 1 (ADVICE r3: where
+    evaluates both branches, an unclamped sqrt(negative) gives NaN grads)."""
+    def f(w):
+        return arithmetic.sin({"a": w}, {"a": w})
+
+    g = jax.grad(f)(jnp.asarray([3.0, -1.5], jnp.float32))
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_ensemble_default_name_and_member_count():
+    """Default name uses the registry name (vit_ti_ensemble, ≙ reference
+    ensemble.py:12-15) and num_members reports the stacked axis (ADVICE r3)."""
+    from dehaze_tpu.zoo import get_model
+    model = get_model("vit_ti", num_classes=4, image_size=32, patch_size=8)
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    vs = [model.init(jax.random.PRNGKey(i), x, train=False) for i in range(2)]
+
+    het = Ensemble([(model, v) for v in vs], train=False)
+    assert het.name == "vit_ti_ensemble"
+    assert het.num_members == 2
+
+    st = Ensemble.stacked(model, stack_variables(vs), train=False)
+    assert st.name == "vit_ti_ensemble"
+    assert st.num_members == 2
+    assert st.members == []  # stacked tuple is not exposed as a member pair
