@@ -25,17 +25,22 @@ from dehaze_tpu.ops.meters import AverageMeter
 
 
 # --------------------------------------------------------------------------
-# metric primitives (`ops/tests.py:261-366`) — NumPy, reference signatures
+# metric primitives — standard calibration formulas. Signatures (and the
+# reference's exact epsilon/edge-case conventions: 1e-7 guards, confidence
+# interval (min, max], zero rows → 0) follow `ops/tests.py:261-366` so the
+# oracle tests in tests/test_zoo_harness.py can compare value-for-value;
+# the implementations are this repo's own vectorized forms.
 # --------------------------------------------------------------------------
 
 def brier(ys, ys_pred):
-    ys_onehot = np.eye(ys_pred.shape[1])[ys]
-    return (np.square(ys_onehot - ys_pred)).sum(axis=1)
+    """Per-sample Brier score Σ_c (1[y=c] − p_c)²."""
+    return np.square(np.eye(ys_pred.shape[1])[ys] - ys_pred).sum(axis=1)
 
 
 def topk(ys, ys_pred, k=5):
-    pred = ys_pred.argsort(axis=1)[:, -k:][:, ::-1]
-    return np.logical_or.reduce(pred == ys.reshape(-1, 1), axis=1)
+    """1[y ∈ top-k(p)] per sample (argpartition — no full sort needed)."""
+    idx = np.argpartition(ys_pred, -k, axis=1)[:, -k:]
+    return (idx == np.reshape(ys, (-1, 1))).any(axis=1)
 
 
 def cm(ys, ys_pred, filter_min=0.0, filter_max=1.0):
@@ -43,66 +48,71 @@ def cm(ys, ys_pred, filter_min=0.0, filter_max=1.0):
     num_classes = ys_pred.shape[1]
     confidence = np.amax(ys_pred, axis=1)
     pred = np.argmax(ys_pred, axis=1)
-    cond = np.logical_and(confidence > filter_min, confidence <= filter_max)
-    k = (ys >= 0) & (ys < num_classes) & cond
-    mat = np.bincount(num_classes * ys[k] + pred[k],
-                      minlength=num_classes ** 2)
-    return np.reshape(mat, [num_classes, num_classes])
+    keep = ((confidence > filter_min) & (confidence <= filter_max)
+            & (ys >= 0) & (ys < num_classes))
+    mat = np.zeros((num_classes, num_classes), np.int64)
+    np.add.at(mat, (ys[keep], pred[keep]), 1)
+    return mat
 
 
 def ious(mat):
-    num = np.diag(mat)
-    den = np.sum(mat, axis=1) + np.sum(mat, axis=0) - np.diag(mat)
-    return np.divide(num, den, out=np.zeros_like(num, dtype=float),
-                     where=(den != 0))
+    """Per-class IoU: diag / (row + col − diag); 0 where the union is empty."""
+    mat = np.asarray(mat, dtype=float)
+    inter = np.diag(mat)
+    union = mat.sum(axis=0) + mat.sum(axis=1) - inter
+    return np.where(union > 0, inter / np.where(union > 0, union, 1.0), 0.0)
 
 
 def miou(mat):
-    weights = [1 if w > 0 else 0 for w in np.sum(mat, axis=1)]
-    return (np.average(ious(mat), weights=weights) if np.sum(weights) > 0
-            else 0.0)
+    """Mean IoU over classes that appear in the ground truth."""
+    present = np.asarray(mat).sum(axis=1) > 0
+    return float(ious(mat)[present].mean()) if present.any() else 0.0
 
 
 def gacc(mat):
-    num = np.diag(mat).sum()
-    den = np.sum(mat)
-    return np.divide(num, den, out=np.zeros_like(num, dtype=float),
-                     where=(den != 0)).tolist()
+    """Global accuracy trace/total (p(accurate | kept by the cm filter))."""
+    total = float(np.sum(mat))
+    return float(np.trace(mat) / total) if total > 0 else 0.0
 
 
 def caccs(mat):
-    accs = []
-    for i in range(np.shape(mat)[0]):
-        row = float(np.sum(mat, axis=1)[i])
-        accs.append(0.0 if row == 0 else np.diag(mat)[i] / (row + 1e-7))
-    return accs
+    """Per-class accuracies diag/row (1e-7-guarded), 0 for empty rows."""
+    mat = np.asarray(mat, dtype=float)
+    row = mat.sum(axis=1)
+    return list(np.where(row > 0, np.diag(mat) / (row + 1e-7), 0.0))
 
 
 def unconfidence(cm_certain, cm_uncertain):
     """p(unconfident | inaccurate)."""
-    inacc_cert = np.sum(cm_certain) - np.diag(cm_certain).sum()
-    inacc_unc = np.sum(cm_uncertain) - np.diag(cm_uncertain).sum()
-    return inacc_unc / (inacc_cert + inacc_unc + 1e-7)
+    def misses(m):
+        return float(np.sum(m)) - float(np.trace(m))
+
+    return misses(cm_uncertain) / (misses(cm_certain)
+                                   + misses(cm_uncertain) + 1e-7)
 
 
 def frequency(cm_certain, cm_uncertain):
-    return np.sum(cm_certain) / (np.sum(cm_certain) + np.sum(cm_uncertain)
-                                 + 1e-7)
+    """Fraction of samples the confidence cutoff keeps."""
+    n_cert = float(np.sum(cm_certain))
+    return n_cert / (n_cert + float(np.sum(cm_uncertain)) + 1e-7)
+
+
+def _bin_weighted_gap(count_bin, acc_bin, conf_bin, signed: bool) -> float:
+    """Count-weighted (conf − acc) over histogram bins: |·| → ECE, raw → ECE±."""
+    count = np.asarray(count_bin, dtype=float)
+    gap = np.asarray(conf_bin, dtype=float) - np.asarray(acc_bin, dtype=float)
+    freq = np.nan_to_num(count / (count.sum() + 1e-7))
+    return float(np.sum((gap if signed else np.abs(gap)) * freq))
 
 
 def ece(count_bin, acc_bin, conf_bin):
-    count_bin, acc_bin, conf_bin = map(np.array,
-                                       (count_bin, acc_bin, conf_bin))
-    freq = np.nan_to_num(count_bin / (sum(count_bin) + 1e-7))
-    return np.sum(np.absolute(acc_bin - conf_bin) * freq)
+    """Expected calibration error."""
+    return _bin_weighted_gap(count_bin, acc_bin, conf_bin, signed=False)
 
 
 def ecse(count_bin, acc_bin, conf_bin):
     """Signed ECE ("ECE±")."""
-    count_bin, acc_bin, conf_bin = map(np.array,
-                                       (count_bin, acc_bin, conf_bin))
-    freq = np.nan_to_num(count_bin / (sum(count_bin) + 1e-7))
-    return np.sum((conf_bin - acc_bin) * freq)
+    return _bin_weighted_gap(count_bin, acc_bin, conf_bin, signed=True)
 
 
 # --------------------------------------------------------------------------
@@ -112,8 +122,15 @@ def ecse(count_bin, acc_bin, conf_bin):
 def _nll(ys_pred: np.ndarray, ys, ys_soft: Optional[np.ndarray],
          smoothing: float) -> float:
     """The reference's double-softmax NLL: CrossEntropyLoss(log(p̂), target)
-    == -Σ t · log_softmax(log p̂) (`tests.py:71-92`)."""
-    logp = np.log(ys_pred + 0.0)
+    == -Σ t · log_softmax(log p̂) (`tests.py:71-92`).
+
+    Zero-probability handling follows torch CE: only target-weighted entries
+    contribute, so a p̂_c == 0 in a NON-target class never produces nan
+    (naive `t * logp` would: numpy 0 · (-inf) = nan). A zero prob in the
+    target class gives +inf, exactly like torch.
+    """
+    with np.errstate(divide="ignore"):
+        logp = np.log(ys_pred)
     logp = logp - logp.max(axis=1, keepdims=True)
     logp = logp - np.log(np.exp(logp).sum(axis=1, keepdims=True))
     c = ys_pred.shape[1]
@@ -123,7 +140,9 @@ def _nll(ys_pred: np.ndarray, ys, ys_soft: Optional[np.ndarray],
         t = np.eye(c)[ys] * (1 - smoothing) + smoothing / c
     else:
         t = np.eye(c)[ys]
-    return float(np.mean(-np.sum(t * logp, axis=1)))
+    with np.errstate(invalid="ignore"):
+        weighted = np.where(t > 0, t * logp, 0.0)
+    return float(np.mean(-np.sum(weighted, axis=1)))
 
 
 def make_predict_fn(model, variables, n_ff: int = 1):

@@ -343,3 +343,26 @@ def test_perturbation_metrics():
     cons, cec = zeval.test_perturbation(m, v, [x[:2], x[2:]])
     assert 0.0 <= cons <= 1.0
     assert np.isfinite(cec)
+
+
+def test_nll_finite_with_zero_nontarget_probs(ref_tests):
+    """A hard-zero probability in a NON-target class must not nan the NLL
+    (torch CE gathers only target-weighted entries; naive t*logp gives
+    numpy 0*(-inf)=nan). Oracle: torch CrossEntropyLoss(log p, ys)."""
+    from dehaze_tpu.zoo.evaluate import _nll
+
+    p = np.array([[0.0, 0.25, 0.75],
+                  [0.5, 0.5, 0.0]], dtype=np.float64)
+    ys = np.array([2, 0])
+    got = _nll(p, ys, None, 0.0)
+    assert np.isfinite(got)
+    want = float(torch.nn.CrossEntropyLoss()(
+        torch.log(torch.from_numpy(p)), torch.from_numpy(ys)))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    # target-class zero prob -> +inf, same as torch
+    ys_inf = np.array([0, 2])
+    got_inf = _nll(p, ys_inf, None, 0.0)
+    want_inf = float(torch.nn.CrossEntropyLoss()(
+        torch.log(torch.from_numpy(p)), torch.from_numpy(ys_inf)))
+    assert np.isposinf(got_inf) and np.isposinf(want_inf)
