@@ -57,6 +57,30 @@ def _val_batches(folder: PairedFolder, ps: int, batch_size: int, seed: int = 0):
     return batches, n_images
 
 
+def _rss_gb() -> float:
+    """Host resident-set size in GB (-1 if psutil is unavailable)."""
+    try:
+        import psutil
+
+        return psutil.Process().memory_info().rss / 1e9
+    except Exception:
+        return -1.0
+
+
+def _malloc_trim() -> None:
+    """Return freed glibc arenas to the OS (opt-in allocator-slope probe:
+    the round-3 endurance run saw ~linear host-RSS growth attributed to
+    allocator arenas; DEHAZE_TPU_MALLOC_TRIM=1 trims once per epoch so the
+    hypothesis is testable — flat RSS under trim == fragmentation, not a
+    leak)."""
+    try:
+        import ctypes
+
+        ctypes.CDLL("libc.so.6").malloc_trim(0)
+    except Exception:
+        pass
+
+
 def fit(cfg: Config, log_dir: Optional[str] = None) -> Tuple[float, str]:
     """Train per cfg; returns (best_psnr, best_ckpt_path)."""
     t = cfg.train
@@ -212,8 +236,11 @@ def fit(cfg: Config, log_dir: Optional[str] = None) -> Tuple[float, str]:
             f"Epoch {epoch}  time {time.time() - t0:.1f}s  loss {epoch_loss:.4f}"
             f"  steady {img_per_s:.1f} img/s"
         )
+        if os.environ.get("DEHAZE_TPU_MALLOC_TRIM"):
+            _malloc_trim()
         logger.event("epoch", epoch=epoch, loss=epoch_loss,
-                     seconds=time.time() - t0, img_per_s=img_per_s)
+                     seconds=time.time() - t0, img_per_s=img_per_s,
+                     rss_gb=round(_rss_gb(), 3))
         # async: device-side snapshot now, fetch+write in the background —
         # the relay/PCIe checkpoint stall leaves the epoch critical path
         # (measured 100+ s/epoch during the round-3 endurance run).
