@@ -18,7 +18,7 @@ import os
 import queue
 import threading
 from dataclasses import dataclass
-from typing import Iterator, List, Tuple
+from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
 
@@ -64,6 +64,32 @@ def _load_train_item(
     return dihedral(clean, k), dihedral(noisy, k)
 
 
+def _epoch_schedule(n: int, batch_size: int, seed: int, epoch: int,
+                    drop_last: bool) -> List[List[Tuple[int, int]]]:
+    """Deterministic per-epoch decode plan: a list of GLOBAL batches, each a
+    list of (folder_index, item_seed). The last short batch wrap-pads by
+    repeating its own leading items (identical arrays: the item seed fixes
+    the crop + augmentation), so every batch has exactly `batch_size` rows.
+
+    Materializing the plan up front is what makes multi-process sharding
+    possible: every process computes the SAME plan from (seed, epoch) and
+    decodes only its slice of each batch.
+    """
+    rng = np.random.default_rng((seed, epoch))
+    order = rng.permutation(n)
+    item_seeds = rng.integers(0, 2**63 - 1, size=n)
+    items = [(int(order[i]), int(item_seeds[i])) for i in range(n)]
+    batches = [items[i:i + batch_size] for i in range(0, n, batch_size)]
+    if batches and len(batches[-1]) < batch_size:
+        if drop_last:
+            batches.pop()
+        else:
+            last, orig = batches[-1], len(batches[-1])
+            while len(last) < batch_size:
+                last.append(last[len(last) % orig])
+    return batches
+
+
 def train_batches(
     folder: PairedFolder,
     *,
@@ -73,18 +99,43 @@ def train_batches(
     epoch: int,
     num_workers: int = 8,
     drop_last: bool = False,
+    process_index: Optional[int] = None,
+    process_count: Optional[int] = None,
 ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
     """One epoch of shuffled (clean, noisy) NHWC float32 batches.
 
     Deterministic given (seed, epoch). Last short batch is padded by wrapping
     (fixed shapes for XLA) unless drop_last.
-    """
-    rng = np.random.default_rng((seed, epoch))
-    n = len(folder)
-    order = rng.permutation(n)
-    item_seeds = rng.integers(0, 2**63 - 1, size=n)
 
-    pairs = [(folder.clean_files[i], folder.noisy_files[i]) for i in order]
+    `batch_size` is the GLOBAL batch. Under multi-process SPMD
+    (`jax.distributed.initialize`, ≙ extending `My_train.py:97` DataParallel
+    across hosts), each process decodes ONLY its contiguous slice of every
+    global batch — rows [p·B/P, (p+1)·B/P) — and yields local arrays sized
+    batch_size/process_count, ready for
+    `jax.make_array_from_process_local_data` (see `parallel.mesh.
+    global_batch_from_local`). Defaults pick up `jax.process_index()/
+    process_count()` so single-process behavior is unchanged.
+    """
+    if process_index is None or process_count is None:
+        import jax
+
+        process_index = jax.process_index()
+        process_count = jax.process_count()
+    if batch_size % process_count:
+        raise ValueError(
+            f"global batch_size {batch_size} must divide evenly across "
+            f"{process_count} processes")
+    local_bs = batch_size // process_count
+    lo = process_index * local_bs
+
+    plan = _epoch_schedule(len(folder), batch_size, seed, epoch, drop_last)
+    args = [
+        ((folder.clean_files[i], folder.noisy_files[i]), patch_size, s)
+        for batch in plan
+        for (i, s) in batch[lo:lo + local_bs]
+    ]
+    n_items = len(args)
+
     with cf.ThreadPoolExecutor(max_workers=num_workers) as ex:
         # Bounded decode lookahead (same fix as infer/stream.py): submit
         # lazily and drop each Future once consumed, so host RAM holds
@@ -92,29 +143,22 @@ def train_batches(
         from collections import deque
 
         lookahead = num_workers + 2
-        args = [(p, patch_size, int(s)) for p, s in zip(pairs, item_seeds)]
         futs: deque = deque(
             ex.submit(_load_train_item, *a) for a in args[:lookahead])
         next_submit = lookahead
         buf_c: List[np.ndarray] = []
         buf_n: List[np.ndarray] = []
-        for _ in range(n):
+        for _ in range(n_items):
             f = futs.popleft()
-            if next_submit < n:
+            if next_submit < n_items:
                 futs.append(ex.submit(_load_train_item, *args[next_submit]))
                 next_submit += 1
             c, x = f.result()
             buf_c.append(c)
             buf_n.append(x)
-            if len(buf_c) == batch_size:
+            if len(buf_c) == local_bs:
                 yield np.stack(buf_c), np.stack(buf_n)
                 buf_c, buf_n = [], []
-        if buf_c and not drop_last:
-            orig = len(buf_c)
-            while len(buf_c) < batch_size:  # wrap-pad to fixed shape
-                buf_c.append(buf_c[len(buf_c) % orig])
-                buf_n.append(buf_n[len(buf_n) % orig])
-            yield np.stack(buf_c), np.stack(buf_n)
 
 
 def val_images(folder: PairedFolder) -> Iterator[Tuple[np.ndarray, np.ndarray, str]]:

@@ -53,3 +53,19 @@ def shard_batch(mesh: Mesh, batch, axis: str = "data"):
     """Place a host batch (or pytree of arrays) with leading-dim sharding."""
     sh = batch_sharding(mesh, axis)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def global_batch_from_local(mesh: Mesh, local_batch, axis: str = "data"):
+    """Assemble a globally-sharded batch from each process's LOCAL rows.
+
+    Under multi-process SPMD (`jax.distributed.initialize`, the DCN-shaped
+    extension of `My_train.py:97` DataParallel) every process holds only its
+    slice of the global batch (see `data.pipeline.train_batches`
+    process_index/process_count); this builds the global `jax.Array` without
+    any cross-host data movement — each process contributes the shards its
+    local devices own. Single-process it degrades to a plain sharded put.
+    """
+    sh = batch_sharding(mesh, axis)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+        local_batch)

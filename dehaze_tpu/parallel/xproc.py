@@ -1,0 +1,223 @@
+"""Cross-process (DCN-shaped) SPMD validation worker.
+
+The reference's only parallelism is single-host `torch.nn.DataParallel`
+(`My_train.py:97`). This repo's mesh layer claims the data axis is
+"DCN-extensible" — this module is the proof: the SAME train step and
+frame-parallel inference run over a mesh that spans MULTIPLE PROCESSES
+(`jax.distributed.initialize`), with the input pipeline decoding only each
+process's batch shard (`data.pipeline.train_batches` process_index /
+process_count) and `parallel.mesh.global_batch_from_local` assembling the
+global arrays without cross-host copies.
+
+Run one worker per process (CPU simulation: 2 procs x 4 virtual devices):
+
+    XLA_FLAGS="--xla_force_host_platform_device_count=4 \
+               --xla_cpu_collective_call_terminate_timeout_seconds=3600" \
+    JAX_PLATFORMS=cpu python -m dehaze_tpu.parallel.xproc \
+        --num_processes 2 --process_id P --coordinator localhost:45680 \
+        --data_dir DS --out /tmp/xproc_P.json
+
+With --num_processes 1 the identical phases run single-process (the golden
+for equality assertions). tests/test_xproc.py asserts 2-proc == 1-proc for
+the DP train-step loss and the frame-parallel outputs; the multichip dryrun
+(`__graft_entry__.dryrun_multichip`) runs it as phase 6 ("procs ok").
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def run_worker(num_processes: int, process_id: int, coordinator: str,
+               data_dir: str, out_path: str) -> dict:
+    if num_processes > 1:
+        import jax
+
+        jax.distributed.initialize(coordinator, num_processes=num_processes,
+                                   process_id=process_id)
+    import jax
+    import jax.numpy as jnp
+
+    from dehaze_tpu.config import (Config, DataConfig, LossConfig,
+                                   ModelConfig)
+    from dehaze_tpu.data.pipeline import PairedFolder, train_batches
+    from dehaze_tpu.parallel.mesh import (batch_sharding,
+                                          global_batch_from_local, make_mesh,
+                                          replicated)
+    from dehaze_tpu.train.trainer import Trainer
+
+    n_global = len(jax.devices())
+    mesh = make_mesh(n_global)
+    if num_processes > 1:
+        # Establish the Gloo context NOW, while both processes are seconds
+        # apart: its full-mesh rendezvous has a hard 30 s key-exchange
+        # timeout, and on a 1-core host the first collective otherwise fires
+        # only after minutes of (stagger-prone) concurrent compilation.
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("xproc_start")
+    results: dict = {"process_id": process_id,
+                     "num_processes": num_processes,
+                     "n_global_devices": n_global}
+
+    # ---- phase A: data-parallel train step (≙ My_train.py:97 across hosts)
+    cfg = Config(
+        model=ModelConfig(img_size=32, embed_dim=8, dtype=jnp.float32),
+        loss=LossConfig(w_contrast=0.0),  # keep the probe step VGG-free
+        data=DataConfig(train_ps=32, batch_size=n_global),
+    )
+    trainer = Trainer(cfg, steps_per_epoch=4, mesh=mesh)
+
+    rng = jax.random.PRNGKey(0)
+    rng, init_rng, step_rng = jax.random.split(rng, 3)
+    state = trainer.init_state(init_rng, np.zeros((1, 32, 32, 3), np.float32))
+    # replicate via host values: identical on every process (same rng), so
+    # device_put to the global replicated sharding is collective-free
+    state = jax.device_put(jax.device_get(state), replicated(mesh))
+
+    folder = PairedFolder(os.path.join(data_dir, "train"))
+    it = train_batches(
+        folder, batch_size=cfg.data.batch_size, patch_size=32, seed=7,
+        epoch=1, num_workers=2,
+        process_index=process_id if num_processes > 1 else 0,
+        process_count=num_processes)
+    clean, hazy = next(iter(it))
+    results["local_rows"] = int(clean.shape[0])
+    gclean = global_batch_from_local(mesh, clean)
+    ghazy = global_batch_from_local(mesh, hazy)
+    state, metrics = trainer.train_step(state, gclean, ghazy, step_rng,
+                                        use_mixup=False)
+    results["train_loss"] = float(metrics["loss"])
+
+    # ---- phase B: frame-parallel inference (≙ test_long frame batching)
+    frames_rng = np.random.default_rng(99)
+    all_frames = frames_rng.uniform(size=(n_global, 32, 32, 3)).astype(
+        np.float32)
+    if num_processes > 1:
+        per = n_global // num_processes
+        local_frames = all_frames[process_id * per:(process_id + 1) * per]
+    else:
+        local_frames = all_frames
+    gframes = global_batch_from_local(mesh, local_frames)
+
+    params = state.params
+    bsh = batch_sharding(mesh)
+
+    @jax.jit
+    def fwd(p, x):
+        out = trainer.model.apply(
+            {"params": p}, x, train=False,
+            rngs={"sample": jax.random.PRNGKey(3)})
+        # per-frame means come back REPLICATED so every process can compare
+        return jnp.mean(jnp.clip(out, 0.0, 1.0), axis=(1, 2, 3))
+
+    means = jax.jit(fwd, in_shardings=(replicated(mesh), bsh),
+                    out_shardings=replicated(mesh))(params, gframes)
+    results["frame_means"] = [float(v) for v in np.asarray(means)]
+
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(results, f)
+    print(f"xproc[{process_id}/{num_processes}]: devices={n_global} "
+          f"loss={results['train_loss']:.6f} "
+          f"frame_mean0={results['frame_means'][0]:.6f}", flush=True)
+    if num_processes > 1:
+        # rendezvous before exit: without it the coordinator (process 0) can
+        # exit while peers are mid-shutdown handshake, hanging them forever
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("xproc_done")
+        jax.distributed.shutdown()
+    return results
+
+
+def launch_pair(data_dir: str, tmp_dir: str, n_devices: int = 8,
+                timeout: float = 900.0, retries: int = 1) -> dict:
+    """Spawn a 2-process worker pair (n_devices/2 virtual CPU devices each),
+    wait for both, and return their parsed result dicts.
+
+    Shared by tests/test_xproc.py and `__graft_entry__.dryrun_multichip`
+    phase 6. Builds a clean child env (CPU platform, per-process device
+    count, long collective rendezvous timeout for this 1-core host) and a
+    fresh coordinator port so parallel callers never collide.
+
+    Retries once by default: a cold compile cache can stagger the workers
+    past Gloo's 30 s rendezvous window on a 1-core host; the retry runs
+    against the cache the failed attempt just wrote.
+    """
+    last_err: Exception | None = None
+    for _ in range(retries + 1):
+        try:
+            return _launch_pair_once(data_dir, tmp_dir, n_devices, timeout)
+        except (RuntimeError, OSError) as e:
+            last_err = e
+    raise last_err
+
+
+def _launch_pair_once(data_dir: str, tmp_dir: str, n_devices: int,
+                      timeout: float) -> dict:
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    per = n_devices // 2
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": (f"--xla_force_host_platform_device_count={per} "
+                      "--xla_cpu_collective_call_terminate_timeout_seconds"
+                      "=3600"),
+        "PYTHONPATH": os.pathsep.join(
+            [os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))))]
+            + env.get("PYTHONPATH", "").split(os.pathsep)),
+    })
+    outs = [os.path.join(tmp_dir, f"xproc_{p}.json") for p in (0, 1)]
+    procs = []
+    for p in (0, 1):
+        cmd = [sys.executable, "-m", "dehaze_tpu.parallel.xproc",
+               "--num_processes", "2", "--process_id", str(p),
+               "--coordinator", f"localhost:{port}",
+               "--data_dir", data_dir, "--out", outs[p]]
+        procs.append(subprocess.Popen(cmd, env=env,
+                                      stdout=subprocess.PIPE,
+                                      stderr=subprocess.STDOUT))
+    try:
+        for pr in procs:
+            try:
+                out, _ = pr.communicate(timeout=timeout)
+            except subprocess.TimeoutExpired as e:
+                raise RuntimeError(f"xproc worker timed out: {e}") from e
+            if pr.returncode != 0:
+                raise RuntimeError(
+                    f"xproc worker failed rc={pr.returncode}:\n"
+                    + out.decode(errors="replace")[-2000:])
+    finally:
+        for pr in procs:
+            if pr.poll() is None:
+                pr.kill()
+    return {p: json.load(open(outs[p])) for p in (0, 1)}
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--num_processes", type=int, default=1)
+    p.add_argument("--process_id", type=int, default=0)
+    p.add_argument("--coordinator", default="localhost:45680")
+    p.add_argument("--data_dir", required=True)
+    p.add_argument("--out", default="")
+    a = p.parse_args()
+    run_worker(a.num_processes, a.process_id, a.coordinator, a.data_dir,
+               a.out)
+
+
+if __name__ == "__main__":
+    main()
