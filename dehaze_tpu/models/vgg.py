@@ -126,6 +126,37 @@ def init_vgg_params(model: VGGFeatures, seed: int = 0, image_hw: int = 64):
     return model.init(k, x)
 
 
+def synthesize_torchvision_state_dict(arch: str = "vgg19", seed: int = 0):
+    """Build a torchvision-`features`-format state_dict with random weights.
+
+    torchvision itself is not installed in this environment (and its
+    pretrained weights are not downloadable — zero egress), so this
+    fabricates the exact key/shape layout `torchvision.models.vgg19().
+    features.state_dict()` would produce (`{flat_idx}.weight` OIHW /
+    `{flat_idx}.bias`), letting the offline conversion path
+    (`cli/convert_vgg` → `load_params_npz`) be exercised END-TO-END
+    (VERDICT r3 #9). Values are Kaiming-normal random, like torch's default
+    conv init.
+    """
+    import torch
+
+    layers = _VGG19_LAYERS if arch == "vgg19" else _VGG16_LAYERS
+    gen = torch.Generator().manual_seed(seed)
+    sd = {}
+    in_ch, flat = 3, 0
+    for l in layers:
+        if l == "M":
+            flat += 1
+            continue
+        w = torch.empty(l, in_ch, 3, 3)
+        torch.nn.init.kaiming_normal_(w, generator=gen)
+        sd[f"{flat}.weight"] = w
+        sd[f"{flat}.bias"] = torch.zeros(l)
+        in_ch = l
+        flat += 2  # conv + relu
+    return sd
+
+
 def load_params_npz(model: VGGFeatures, path: str):
     """Load torchvision-converted weights from .npz.
 
