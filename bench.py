@@ -96,8 +96,10 @@ def main():
     # checkpoint: whole-image PSNR shifts by 1e-6 dB (13.690447 →
     # 13.690448) while throughput gains +10.4% (4.897 → 5.404 Mpix/s).
     fast_gelu = os.environ.get("BENCH_FAST_GELU", "1") == "1"
+    act_store = os.environ.get("BENCH_ACT_STORE") or None  # "fp8" | "int8"
     cfg = ModelConfig(img_size=PS, embed_dim=32, dtype=jnp.bfloat16,
-                      use_pallas=use_pallas, fast_gelu=fast_gelu)
+                      use_pallas=use_pallas, fast_gelu=fast_gelu,
+                      act_store=act_store)
     model = Uformer(cfg)
     key = jax.random.PRNGKey(0)
 
@@ -140,6 +142,7 @@ def main():
         "sec_per_frame": round(dt / BATCH, 4),
         "batch": BATCH,
         "pallas": use_pallas,
+        "act_store": act_store,
         "canvas": "1664x1664 (reference square protocol)" if square
                   else "1280x1664 (rect wrap-pad, same crop)",
         "device": str(jax.devices()[0]),

@@ -42,6 +42,11 @@ def add_common_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
     p.add_argument("--remat", action="store_true",
                    help="rematerialize LeWin blocks in the backward pass "
                         "(fit per-chip batch 64/128 at 128² in HBM)")
+    p.add_argument("--act_store", default=None, choices=["fp8", "int8"],
+                   help="quantized activation storage between fused kernels "
+                        "on the INFERENCE path (ops/actstore.py): halves "
+                        "the big inter-kernel HBM buffers; matmuls stay "
+                        "bf16. Fidelity measured in DESIGN.md")
     # loss
     p.add_argument("--is_ab", action="store_true",
                    help="CR ablation: drop the negative term")
@@ -83,7 +88,7 @@ def config_from_args(a: argparse.Namespace) -> Config:
             win_size=a.win_size, token_projection=a.token_projection,
             token_mlp=a.token_mlp, se_layer=a.se_layer, attention=a.attention,
             use_rel_pos_bias=not a.no_rel_pos_bias, dtype=dtype,
-            fast_gelu=a.fast_gelu, remat=a.remat,
+            fast_gelu=a.fast_gelu, remat=a.remat, act_store=a.act_store,
             ffa_gps=a.ffa_gps, ffa_blocks=a.ffa_blocks, ffa_dim=a.ffa_dim,
         ),
         loss=LossConfig(

@@ -80,6 +80,12 @@ class ModelConfig:
     # the same error magnitude as the reference's own fp16-autocast GELU,
     # `My_train.py:224`). Default off: exact erf, bit-parity with torch.
     fast_gelu: bool = False
+    # Quantized activation STORAGE between fused kernels on the inference
+    # path (ops/actstore.py): None | "fp8" | "int8". The whole-image bench
+    # is HBM-bandwidth-dominated (roofline fields in bench.py); this halves
+    # the bytes of the big inter-kernel tensors while all matmuls stay bf16.
+    # Ignored during training (blocks apply it only when deterministic).
+    act_store: Optional[str] = None
     # FFA-Net baseline knobs (`FFA_model/models/FFA.py:73`).
     ffa_gps: int = 3
     ffa_blocks: int = 19

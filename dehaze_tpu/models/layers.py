@@ -138,17 +138,24 @@ class LeFF(nn.Module):
     out_dim: int
     fast_gelu: bool = False
     fence: bool = False
+    act_store: Optional[str] = None
     band_axis: Optional[str] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from dehaze_tpu.ops import actstore
+
         x = nn.Dense(self.hidden_dim, kernel_init=trunc_init, dtype=self.dtype,
                      name="linear1")(x)
         x = nn.gelu(x, approximate=self.fast_gelu)
+        # the two hidden-width (4C) tensors are the block's biggest HBM
+        # buffers — prime targets for compressed storage (ops/actstore.py)
+        x = actstore.compress(x, self.act_store)
         x = DepthwiseConv3x3(self.hidden_dim, band_axis=self.band_axis,
                              dtype=self.dtype, name="dwconv")(x)
         x = nn.gelu(x, approximate=self.fast_gelu)
+        x = actstore.compress(x, self.act_store)
         import os as _os
 
         if self.fence or _os.environ.get("DEHAZE_TPU_LEFF_FENCE"):
