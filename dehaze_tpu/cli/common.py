@@ -77,6 +77,10 @@ def add_common_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
                    help="gradient accumulation: microbatches per optimizer "
                         "update (effective batch = batch_size, unchanged; "
                         "peak activation memory = one microbatch)")
+    p.add_argument("--keep_ckpts", type=int, default=0,
+                   help="keep only the newest N per-epoch checkpoints "
+                        "(0 = keep all, the reference behavior); "
+                        "model_best is never pruned")
     return p
 
 
@@ -105,6 +109,7 @@ def config_from_args(a: argparse.Namespace) -> Config:
             warmup_epochs=a.warmup_epochs, seed=a.seed, save_dir=a.save_dir,
             env=a.env, resume=a.resume, pretrain_weights=a.pretrain_weights,
             data_axis=a.data_axis, accum_steps=a.accum_steps,
+            keep_ckpts=a.keep_ckpts,
         ),
     )
 

@@ -157,6 +157,10 @@ class TrainConfig:
     # recipe, `My_train.py:155`) unchanged; peak activation memory is one
     # microbatch's. batch_size must divide evenly.
     accum_steps: int = 1
+    # Keep only the newest N per-epoch checkpoints (0 = keep all, the
+    # reference behavior). model_best is never pruned. A 270-epoch campaign
+    # writes ~250 MB/epoch of params+opt_state — ~67 GB unpruned.
+    keep_ckpts: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

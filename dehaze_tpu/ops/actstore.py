@@ -22,6 +22,14 @@ Modes:
 No reference analog (`test_long_GPU.py` runs full fp32); this is a
 TPU-native serving lever, opt-in via ModelConfig.act_store and OFF for
 training (blocks apply it only when deterministic).
+
+MEASURED NEGATIVE on the chip (round 4, DESIGN.md "Quantized activation
+storage"): fp8 5.331 / int8 4.656 vs plain 5.676 Mpix/s, with TOTAL HBM
+bytes UP (+6% / +28%) — the chosen boundaries were tensors XLA previously
+fused through, so the pinning barrier adds a materialization that wasn't
+in the plain graph. Kept as an opt-in, fidelity-measured mechanism
+(int8 +0.00002 dB, fp8 −0.015 dB on a trained ckpt) and a documented
+negative; do not enable expecting a speedup on this model.
 """
 
 from __future__ import annotations

@@ -81,6 +81,30 @@ def _malloc_trim() -> None:
         pass
 
 
+def _prune_epoch_ckpts(model_dir: str, keep: int, current_epoch: int) -> None:
+    """Unlink all but the newest `keep` epoch_model_*.msgpack files.
+
+    Glob-based (not just `current - keep`) so resumed runs also clean up
+    files from before the resume. Only epochs ≤ current are candidates —
+    the in-flight async save for `current` is ordered after the files being
+    deleted (AsyncCheckpointer keeps one save in flight), and model_best is
+    a different filename, never touched.
+    """
+    import glob
+    import re
+
+    found = []
+    for f in glob.glob(os.path.join(model_dir, "epoch_model_*.msgpack")):
+        m = re.fullmatch(r"epoch_model_(\d+)\.msgpack", os.path.basename(f))
+        if m and int(m.group(1)) <= current_epoch:
+            found.append((int(m.group(1)), f))
+    for _, f in sorted(found)[:-keep]:
+        try:
+            os.unlink(f)
+        except OSError:
+            pass
+
+
 def fit(cfg: Config, log_dir: Optional[str] = None) -> Tuple[float, str]:
     """Train per cfg; returns (best_psnr, best_ckpt_path)."""
     t = cfg.train
@@ -248,6 +272,8 @@ def fit(cfg: Config, log_dir: Optional[str] = None) -> Tuple[float, str]:
             os.path.join(model_dir, f"epoch_model_{epoch}.msgpack"),
             epoch, state.params, state.opt_state,
         )
+        if t.keep_ckpts > 0:
+            _prune_epoch_ckpts(model_dir, t.keep_ckpts, epoch)
 
     ckpt_writer.close()
     return best_psnr, os.path.join(model_dir, "model_best.msgpack")

@@ -85,8 +85,11 @@ def test_healthz_and_dehaze(server, tiny_uformer):
 
 
 def test_concurrent_requests(server):
-    """ThreadingHTTPServer handlers overlap; the device lock + counter must
-    hold up: N concurrent POSTs all succeed and served counts exactly N."""
+    """ThreadingHTTPServer handlers overlap; the device worker + counter must
+    hold up: N concurrent POSTs all succeed, served counts exactly N, and the
+    micro-batcher groups at least some of the queued same-geometry requests
+    (fewer forwards than requests — the round-3 serial server did exactly N
+    forwards of batch 1)."""
     import concurrent.futures as cf
 
     _, payload = _png(np.random.default_rng(7))
@@ -103,6 +106,101 @@ def test_concurrent_requests(server):
     health = json.loads(urllib.request.urlopen(server + "/healthz",
                                                timeout=60).read())
     assert health["served"] == 16
+    hist = health["batch_hist"]  # JSON: {batch_size_str: forward_count}
+    assert sum(int(k) * v for k, v in hist.items()) == 16
+    assert sum(hist.values()) < 16, f"no grouping happened: {hist}"
+
+
+def test_micro_batcher_groups_and_preserves_order():
+    """Unit: requests queued behind a busy forward are grouped (≤ max_batch)
+    and every caller gets ITS OWN image back."""
+    import concurrent.futures as cf
+
+    from dehaze_tpu.cli.serve import MicroBatcher
+
+    calls = []
+
+    def get_run(h, w):
+        def run(x):
+            calls.append(x.shape[0])
+            time.sleep(0.2)
+            return np.asarray(x)
+
+        return run
+
+    mb = MicroBatcher(get_run, max_batch=4)
+    try:
+        imgs = [np.full((4, 4, 3), i, np.float32) for i in range(6)]
+        with cf.ThreadPoolExecutor(6) as ex:
+            first = ex.submit(mb.submit, imgs[0])
+            time.sleep(0.05)  # worker is now inside run(); the rest queue
+            rest = [ex.submit(mb.submit, im) for im in imgs[1:]]
+            outs = [first.result(timeout=30)] + [
+                f.result(timeout=30) for f in rest]
+        for im, out in zip(imgs, outs):
+            np.testing.assert_array_equal(im, out)
+        assert calls[0] == 1  # lone request ran immediately, no wait window
+        assert sum(calls) == 6
+        assert max(calls) > 1 and max(calls) <= 4
+        assert dict(mb.hist) and sum(k * v for k, v in mb.hist.items()) == 6
+    finally:
+        mb.close()
+
+
+def test_micro_batcher_mixed_geometries():
+    """A different-geometry request never lands in the wrong batch: it is
+    requeued and served as its own group."""
+    import concurrent.futures as cf
+
+    from dehaze_tpu.cli.serve import MicroBatcher
+
+    def get_run(h, w):
+        def run(x):
+            assert all(im.shape == x.shape[1:] for im in x)  # homogeneous
+            time.sleep(0.1)
+            return np.asarray(x) + 1.0
+
+        return run
+
+    mb = MicroBatcher(get_run, max_batch=8)
+    try:
+        a = [np.full((4, 4, 3), i, np.float32) for i in range(3)]
+        b = [np.full((6, 4, 3), 10.0 + i, np.float32) for i in range(3)]
+        order = [a[0], b[0], a[1], b[1], a[2], b[2]]
+        with cf.ThreadPoolExecutor(6) as ex:
+            first = ex.submit(mb.submit, order[0])
+            time.sleep(0.03)
+            rest = [ex.submit(mb.submit, im) for im in order[1:]]
+            outs = [first.result(timeout=30)] + [
+                f.result(timeout=30) for f in rest]
+        for im, out in zip(order, outs):
+            np.testing.assert_array_equal(im + 1.0, out)
+    finally:
+        mb.close()
+
+
+def test_micro_batcher_error_reaches_every_grouped_request():
+    import concurrent.futures as cf
+
+    from dehaze_tpu.cli.serve import MicroBatcher
+
+    def get_run(h, w):
+        def run(x):
+            time.sleep(0.1)
+            raise ValueError("boom")
+
+        return run
+
+    mb = MicroBatcher(get_run, max_batch=4)
+    try:
+        img = np.zeros((4, 4, 3), np.float32)
+        with cf.ThreadPoolExecutor(3) as ex:
+            futs = [ex.submit(mb.submit, img) for _ in range(3)]
+            for f in futs:
+                with pytest.raises(ValueError, match="boom"):
+                    f.result(timeout=30)
+    finally:
+        mb.close()
 
 
 def test_max_pixels_cap_400(tiny_uformer):

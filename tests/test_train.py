@@ -229,3 +229,27 @@ def test_ffa_train_cli_end_to_end(tmp_path):
     assert len(hist["psnrs"]) == 2 and hist["max_psnr"] > 0
     # all 4 step losses collected despite the lag-1 async printing
     assert len(hist["losses"]) >= 4
+
+
+def test_prune_epoch_ckpts(tmp_path):
+    """--keep_ckpts bounds per-epoch checkpoint files; model_best survives;
+    stale pre-resume files are also cleaned (glob-based, not arithmetic)."""
+    from dehaze_tpu.train.loop import _prune_epoch_ckpts
+
+    d = str(tmp_path)
+    for e in (1, 2, 3, 5, 8):  # gaps, as after a resume with prior pruning
+        open(os.path.join(d, f"epoch_model_{e}.msgpack"), "w").close()
+    open(os.path.join(d, "model_best.msgpack"), "w").close()
+    open(os.path.join(d, "epoch_model_notanum.msgpack"), "w").close()
+
+    _prune_epoch_ckpts(d, keep=2, current_epoch=8)
+    left = sorted(os.listdir(d))
+    assert left == ["epoch_model_5.msgpack", "epoch_model_8.msgpack",
+                    "epoch_model_notanum.msgpack", "model_best.msgpack"]
+
+    # epochs beyond current (in-flight async save not yet on disk) are
+    # never candidates: pruning at epoch 5 must not count epoch 8's file
+    _prune_epoch_ckpts(d, keep=1, current_epoch=5)
+    assert sorted(os.listdir(d)) == [
+        "epoch_model_5.msgpack", "epoch_model_8.msgpack",
+        "epoch_model_notanum.msgpack", "model_best.msgpack"]
