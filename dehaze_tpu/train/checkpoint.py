@@ -72,19 +72,24 @@ def load_start_epoch(path: str) -> int:
 
 # ------------------------------------------------------------ async checkpoint
 class AsyncCheckpointer:
-    """Hide device→host checkpoint latency off the training critical path.
+    """Hide checkpoint serialize+write latency off the training critical path.
 
     The endurance run (DESIGN.md round 3) measured 100+ s/epoch of stall in
     the synchronous per-epoch save: `serialization.to_bytes` blocks on the
     60 MB params+opt_state device→host fetch, which intermittently stalls on
     slow interconnects (the axon relay here; PCIe contention on real pods).
 
-    save() therefore (1) makes a cheap DEVICE-side copy of every array
-    (`jnp.copy`, ~HBM-bandwidth — microseconds for 60 MB) so the snapshot
-    is immune to the next step's buffer donation (`Trainer._train_step`
-    donates the state), then (2) runs the fetch + serialize + atomic write
-    on a single background thread. One save is in flight at a time: a new
-    save first waits for the previous one (bounded memory, ordered files).
+    Thread-safety constraint (learned the hard way, round 4): issuing the
+    device→host FETCH from a background thread while the main thread keeps
+    dispatching steps deadlocked the whole process on the axon relay within
+    one save — every thread futex-parked, zero log progress, kernel stacks
+    in DESIGN.md "Campaign". The transport client is not assumed
+    reentrant anywhere anymore: save() now does the snapshot fetch ON THE
+    CALLER THREAD (`jax.device_get` → host numpy, also immune to the next
+    step's buffer donation), and the background thread only serializes
+    msgpack + writes the file atomically — pure-host work, no jax calls.
+    One save is in flight at a time: a new save first waits for the
+    previous one (bounded memory, ordered files).
 
     wait() drains the queue — call before reading files back or exiting.
     Exceptions surface on the next save()/wait().
@@ -98,11 +103,10 @@ class AsyncCheckpointer:
 
     @staticmethod
     def _snapshot(tree: Any) -> Any:
+        """Device→host fetch on the caller thread (see class docstring)."""
         import jax
-        import jax.numpy as jnp
 
-        return jax.tree.map(
-            lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x, tree)
+        return jax.device_get(tree)
 
     def save(self, path: str, epoch: int, params: Any, opt_state: Any = None,
              extra: Optional[Dict] = None) -> None:
