@@ -103,10 +103,14 @@ class AsyncCheckpointer:
 
     @staticmethod
     def _snapshot(tree: Any) -> Any:
-        """Device→host fetch on the caller thread (see class docstring)."""
-        import jax
+        """Device→host fetch on the caller thread (see class docstring).
 
-        return jax.device_get(tree)
+        Packed: one transfer per dtype instead of one per leaf — on the
+        latency-bound relay the naive per-leaf fetch of the 300+-leaf
+        state cost ~60 s per save (utils/transfer.py)."""
+        from dehaze_tpu.utils.transfer import device_get_packed
+
+        return device_get_packed(tree)
 
     def save(self, path: str, epoch: int, params: Any, opt_state: Any = None,
              extra: Optional[Dict] = None) -> None:

@@ -184,10 +184,16 @@ def fit(cfg: Config, log_dir: Optional[str] = None) -> Tuple[float, str]:
     # or hosts where a concurrent device->host fetch hurts step dispatch).
     if os.environ.get("DEHAZE_TPU_SYNC_CKPT"):
         from dehaze_tpu.train.checkpoint import save_checkpoint
+        from dehaze_tpu.utils.transfer import device_get_packed
 
         class _SyncWriter:
-            def save(self, *a, **kw):
-                save_checkpoint(*a, **kw)
+            def save(self, path, epoch_, params_, opt_state_=None, extra=None):
+                # packed fetch here too: serialization.to_bytes on a device
+                # tree fetches per leaf — ~60 s on the latency-bound relay
+                save_checkpoint(
+                    path, epoch_, device_get_packed(params_),
+                    device_get_packed(opt_state_)
+                    if opt_state_ is not None else None, extra)
 
             def close(self):
                 pass
@@ -198,6 +204,7 @@ def fit(cfg: Config, log_dir: Optional[str] = None) -> Tuple[float, str]:
 
     for epoch in range(start_epoch, t.nepoch + 1):
         t0 = time.time()
+        best_pending = None  # device-side snapshot of this epoch's best eval
         # Loss accumulates ON DEVICE (a list of async scalar futures); the
         # only host syncs between eval points are none — float() per step
         # would stall the double-buffered prefetch (`My_train.py:253-255`
@@ -235,10 +242,17 @@ def fit(cfg: Config, log_dir: Optional[str] = None) -> Tuple[float, str]:
                                               n_valid=n_val)
                 if psnr > best_psnr:
                     best_psnr, best_epoch, best_iter = psnr, epoch, i
-                    ckpt_writer.save(
-                        os.path.join(model_dir, "model_best.msgpack"),
-                        epoch, state.params, state.opt_state,
-                        extra={"psnr": psnr, "ssim": ssim},
+                    # Defer the WRITE to epoch end: early epochs improve at
+                    # every eval, and each write is a full state fetch
+                    # (~250 MB) through the relay — 4×/epoch of transfer
+                    # for files immediately overwritten. The device-side
+                    # copy (jnp.copy, ~HBM speed) pins THIS eval point's
+                    # params against later steps' buffer donation, so the
+                    # file still contains the best model, not epoch-end.
+                    best_pending = (
+                        jax.tree.map(jnp.copy, state.params),
+                        jax.tree.map(jnp.copy, state.opt_state),
+                        {"psnr": psnr, "ssim": ssim},
                     )
                 logger.text(
                     f"[Ep {epoch} it {i}] PSNR {psnr:.4f} | SSIM {ssim:.4f}"
@@ -260,6 +274,11 @@ def fit(cfg: Config, log_dir: Optional[str] = None) -> Tuple[float, str]:
             f"Epoch {epoch}  time {time.time() - t0:.1f}s  loss {epoch_loss:.4f}"
             f"  steady {img_per_s:.1f} img/s"
         )
+        if best_pending is not None:
+            bp, bo, bx = best_pending
+            ckpt_writer.save(os.path.join(model_dir, "model_best.msgpack"),
+                             epoch, bp, bo, extra=bx)
+            best_pending = None
         if os.environ.get("DEHAZE_TPU_MALLOC_TRIM"):
             _malloc_trim()
         logger.event("epoch", epoch=epoch, loss=epoch_loss,

@@ -1,0 +1,57 @@
+"""Packed device→host transfer: fetch a whole pytree in O(dtypes) RTTs.
+
+A naive `jax.device_get(state)` issues one transfer PER LEAF. The training
+state here is 300+ leaves (params + AdamW moments), and on latency-bound
+links (the axon TPU relay in this environment; any DCN hop in general) the
+fetch cost is ~n_leaves × RTT, not bytes/bandwidth: the round-4 campaign
+measured ~287 s/epoch of checkpoint overhead this way (DESIGN.md
+"Campaign"), the same pathology round 3 found for per-step scalar fetches
+(fixed then by one stacked epoch-loss transfer, `train/loop.py`).
+
+`device_get_packed` concatenates the raveled leaves ON DEVICE into one
+buffer per dtype (a tiny jitted program — compiled once per tree
+structure, cached by jit), fetches each buffer in ONE transfer, and splits
+back on the host. Semantically identical to `jax.device_get`; only the
+transfer count changes (typically 300+ → 2: f32 params/moments + i32 step
+counters).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.jit
+def _pack(leaves):
+    return jnp.concatenate([x.ravel() for x in leaves])
+
+
+def device_get_packed(tree: Any) -> Any:
+    """`jax.device_get(tree)`, but one device→host transfer per dtype."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    by_dtype = {}
+    for i, leaf in enumerate(leaves):
+        if isinstance(leaf, jax.Array) and leaf.size > 0:
+            by_dtype.setdefault(jnp.dtype(leaf.dtype), []).append(i)
+
+    out = list(leaves)
+    for idxs in by_dtype.values():
+        if len(idxs) == 1:  # nothing to pack; fetch directly
+            i = idxs[0]
+            out[i] = np.asarray(leaves[i])
+            continue
+        packed = np.asarray(_pack([leaves[i] for i in idxs]))
+        offset = 0
+        for i in idxs:
+            n = leaves[i].size
+            out[i] = packed[offset:offset + n].reshape(leaves[i].shape)
+            offset += n
+    # non-jax leaves (python scalars, None) and 0-size arrays pass through
+    for i, leaf in enumerate(leaves):
+        if isinstance(leaf, jax.Array) and leaf.size == 0:
+            out[i] = np.asarray(leaf)
+    return jax.tree_util.tree_unflatten(treedef, out)
