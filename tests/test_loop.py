@@ -40,6 +40,7 @@ def _cfg(root, save_dir, **tkw):
     )
 
 
+@pytest.mark.slow  # >90 s under load (round-4 durations audit)
 def test_fit_then_resume(tiny_ds, tmp_path):
     cfg = _cfg(tiny_ds, tmp_path)
     best1, ckpt = fit(cfg)

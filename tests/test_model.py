@@ -129,6 +129,7 @@ def test_fast_gelu_close_to_exact():
     assert np.abs(outs[0] - outs[1]).max() > 0  # flag actually changes math
 
 
+@pytest.mark.slow  # >90 s under load (round-4 durations audit)
 def test_remat_matches_plain():
     """cfg.remat=True (jax.checkpoint per LeWin block) is numerically
     identical to the plain model in forward AND gradients — it only changes

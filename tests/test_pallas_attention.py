@@ -98,6 +98,7 @@ def test_model_with_pallas_matches_jnp_path():
                                rtol=5e-5, atol=5e-5)
 
 
+@pytest.mark.slow  # >90 s under load (round-4 durations audit)
 def test_pallas_model_trains_via_jnp_fallback():
     """use_pallas=True must still be differentiable: training falls back to
     the jnp path (the fused kernel has no VJP)."""

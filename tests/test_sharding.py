@@ -36,6 +36,7 @@ def test_sharded_matmul_matches_single_device():
     np.testing.assert_allclose(got, expect, rtol=1e-5)
 
 
+@pytest.mark.slow  # >90 s under load (round-4 durations audit)
 @needs_8
 def test_dryrun_multichip_full_train_step():
     """The driver-facing multi-chip path: full DP train step on 8 devices."""
@@ -44,6 +45,7 @@ def test_dryrun_multichip_full_train_step():
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow  # >90 s under load (round-4 durations audit)
 @needs_8
 def test_dp_train_step_matches_single_device():
     """Gradient all-reduce correctness: sharded batch == unsharded batch."""
@@ -77,6 +79,7 @@ def test_dp_train_step_matches_single_device():
                                    atol=1e-6)
 
 
+@pytest.mark.slow  # >90 s under load (round-4 durations audit)
 @needs_8
 def test_sharded_whole_image_inference_matches_single_device():
     import jax.numpy as jnp
@@ -109,6 +112,7 @@ def test_sharded_whole_image_inference_matches_single_device():
     np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow  # >90 s under load (round-4 durations audit)
 @needs_8
 def test_2d_mesh_replica_x_data_train_step():
     """DCN-extensible axis layout: a ('replica', 'data') 2×4 mesh with the

@@ -57,6 +57,7 @@ def test_train_step_with_contrast_loss(batch):
     assert float(m["all_ap"]) > 0 and float(m["all_an"]) > 0
 
 
+@pytest.mark.slow  # >90 s under load (round-4 durations audit)
 def test_accum_equivalence(batch):
     """accum_steps=2 over the SAME batch == the single full-batch step to fp
     tolerance (VERDICT r2 #3): grads are microbatch-means averaged, one
