@@ -280,14 +280,7 @@ def merge_landscape_csvs(pattern: str) -> List[Dict[str, float]]:
     return list(by_xy.values())
 
 
-def plot_landscape(rows: Iterable[Dict[str, float]], out_path: str,
-                   title: str = "loss landscape") -> None:
-    """3-D surface plot (≙ `My_losslandscape.py:219-279`)."""
-    import matplotlib
-
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
-
+def _rows_to_grid(rows: Iterable[Dict[str, float]]):
     rows = list(rows)
     xs = sorted({r["x"] for r in rows})
     ys = sorted({r["y"] for r in rows})
@@ -296,6 +289,18 @@ def plot_landscape(rows: Iterable[Dict[str, float]], out_path: str,
     yi = {v: i for i, v in enumerate(ys)}
     for r in rows:
         grid[yi[r["y"]], xi[r["x"]]] = r["loss"]
+    return np.asarray(xs), np.asarray(ys), grid
+
+
+def plot_landscape(rows: Iterable[Dict[str, float]], out_path: str,
+                   title: str = "loss landscape") -> None:
+    """3-D surface plot (≙ `My_losslandscape.py:219-279`)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    xs, ys, grid = _rows_to_grid(rows)
     X, Y = np.meshgrid(xs, ys)
     fig = plt.figure(figsize=(8, 6))
     ax = fig.add_subplot(projection="3d")
@@ -304,5 +309,105 @@ def plot_landscape(rows: Iterable[Dict[str, float]], out_path: str,
     ax.set_ylabel("y")
     ax.set_zlabel("loss")
     ax.set_title(title)
+    fig.savefig(out_path, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+
+
+def radial_profile(rows: Iterable[Dict[str, float]]):
+    """Mean RELATIVE loss rise vs. grid radius from the (0, 0) center.
+
+    The two sweeps being compared use different loss functions (the ViT
+    model trains Charbonnier+CR, FFA trains L1 — `My_train.py` vs
+    `FFA_.../main.py`), so raw z-heights are not comparable. Dividing by
+    the center loss puts both on the dimensionless "how many × the
+    optimum's loss do I pay r steps away" scale that the flatness
+    argument (README.md:165-209, after Park & Kim 2022) actually makes.
+
+    Returns (radii, mean relative rise per radius) with the relative rise
+    defined as loss(x, y) / loss(0, 0) - 1.
+    """
+    rows = list(rows)
+    center = [r["loss"] for r in rows if r["x"] == 0.0 and r["y"] == 0.0]
+    if not center:
+        raise ValueError("no (0,0) center point in landscape rows")
+    c = center[0]
+    by_r: Dict[float, List[float]] = {}
+    for r in rows:
+        rad = round(float(np.hypot(r["x"], r["y"])), 6)
+        by_r.setdefault(rad, []).append(r["loss"] / c - 1.0)
+    radii = np.asarray(sorted(by_r))
+    rises = np.asarray([float(np.mean(by_r[r])) for r in radii])
+    return radii, rises
+
+
+def landscape_stats(rows: Iterable[Dict[str, float]]) -> Dict[str, float]:
+    """Scalar flatness summary of one sweep.
+
+    - center_loss / min_loss: is the checkpoint the grid minimum?
+    - mean_rel_rise / max_rel_rise: loss(x,y)/loss(0,0) - 1 over the grid
+      (dimensionless; lower = flatter basin = the reference's claim for
+      the ViT model, README.md:206-209);
+    - edge_rel_rise: the same averaged over the grid boundary only (the
+      farthest ring, where the sharpness contrast is largest).
+    """
+    rows = list(rows)
+    xs, ys, grid = _rows_to_grid(rows)
+    c = grid[np.searchsorted(ys, 0.0), np.searchsorted(xs, 0.0)]
+    rel = grid / c - 1.0
+    edge = np.concatenate([rel[0, :], rel[-1, :], rel[1:-1, 0], rel[1:-1, -1]])
+    return {
+        "center_loss": float(c),
+        "min_loss": float(np.nanmin(grid)),
+        "center_is_min": bool(np.nanmin(grid) == c),
+        "mean_rel_rise": float(np.nanmean(rel)),
+        "max_rel_rise": float(np.nanmax(rel)),
+        "edge_rel_rise": float(np.nanmean(edge)),
+        "points": len(rows),
+    }
+
+
+def plot_landscape_pair(rows_a: Iterable[Dict[str, float]],
+                        rows_b: Iterable[Dict[str, float]],
+                        out_path: str,
+                        labels: Sequence[str] = ("ViT", "FFA"),
+                        title: str = "loss landscape comparison") -> None:
+    """The reference's thesis figure: ViT-vs-FFA landscapes side by side.
+
+    ≙ README.md:165-209, which shows the two `losslandscape.ipynb` 3-D
+    surfaces next to each other and argues the ViT-based model's basin is
+    flatter (per Park & Kim, "How Do Vision Transformers Work?").
+    Panels 1-2: the raw surfaces exactly as `plot_landscape` draws them.
+    Panel 3: the normalized radial profiles overlaid — the quantitative
+    form of the visual argument (see `radial_profile` for why relative
+    rise, not raw loss, is the comparable axis).
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    rows_a, rows_b = list(rows_a), list(rows_b)
+    fig = plt.figure(figsize=(18, 5.5))
+    for i, (rows, label, cmap) in enumerate(
+            [(rows_a, labels[0], "viridis"), (rows_b, labels[1], "magma")]):
+        xs, ys, grid = _rows_to_grid(rows)
+        X, Y = np.meshgrid(xs, ys)
+        ax = fig.add_subplot(1, 3, i + 1, projection="3d")
+        ax.plot_surface(X, Y, grid, cmap=cmap)
+        ax.set_xlabel("x")
+        ax.set_ylabel("y")
+        ax.set_zlabel("loss")
+        ax.set_title(f"{label} (raw loss)")
+    ax = fig.add_subplot(1, 3, 3)
+    for rows, label, color in [(rows_a, labels[0], "tab:blue"),
+                               (rows_b, labels[1], "tab:red")]:
+        radii, rises = radial_profile(rows)
+        ax.plot(radii, rises, marker="o", ms=3, color=color, label=label)
+    ax.set_xlabel("grid radius from optimum")
+    ax.set_ylabel("mean relative loss rise  loss/loss(0,0) − 1")
+    ax.set_title("normalized flatness profile")
+    ax.grid(True, alpha=0.3)
+    ax.legend()
+    fig.suptitle(title)
     fig.savefig(out_path, dpi=150, bbox_inches="tight")
     plt.close(fig)

@@ -285,3 +285,49 @@ def test_plot_landscape_writes_file(tmp_path):
     out = str(tmp_path / "s.jpg")
     LS.plot_landscape(rows, out)
     assert os.path.getsize(out) > 0
+
+
+def test_landscape_pair_stats_and_figure(tmp_path):
+    # two synthetic bowls around the same center: B is 4x sharper, so the
+    # pair tool must call A flatter and the figure must be written
+    import csv as _csv
+    import json
+    import subprocess
+    import sys
+
+    def bowl(k):
+        return [{"x": x / 2, "y": y / 2, "l1": 0.0, "l2": 0.0,
+                 "loss": 1.0 + k * (x * x + y * y) / 4}
+                for x in (-2, -1, 0, 1, 2) for y in (-2, -1, 0, 1, 2)]
+
+    paths = {}
+    for name, k in [("a", 0.5), ("b", 2.0)]:
+        p = tmp_path / f"{name}.csv"
+        with open(p, "w", newline="") as f:
+            w = _csv.DictWriter(f, fieldnames=["x", "y", "l1", "l2", "loss"])
+            w.writeheader()
+            w.writerows(bowl(k))
+        paths[name] = str(p)
+
+    sa = LS.landscape_stats(LS.load_landscape_csv(paths["a"]))
+    sb = LS.landscape_stats(LS.load_landscape_csv(paths["b"]))
+    assert sa["center_is_min"] and sb["center_is_min"]
+    assert sa["mean_rel_rise"] < sb["mean_rel_rise"]
+    assert sb["max_rel_rise"] == 4 * sa["max_rel_rise"]
+
+    radii, rises = LS.radial_profile(LS.load_landscape_csv(paths["a"]))
+    assert radii[0] == 0.0 and rises[0] == 0.0
+    assert np.all(np.diff(rises) >= 0)  # a bowl rises monotonically
+
+    out = str(tmp_path / "cmp.jpg")
+    r = subprocess.run(
+        [sys.executable, "-m", "dehaze_tpu.cli.landscape_pair",
+         paths["a"], paths["b"], "--labels", "ViT", "FFA", "--out", out],
+        capture_output=True, text=True, timeout=240,
+        env={**os.environ, "JAX_PLATFORMS": "cpu",
+             "PYTHONPATH": os.path.dirname(
+                 os.path.dirname(os.path.abspath(__file__)))})
+    assert r.returncode == 0, r.stderr[-2000:]
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    assert stats["flatter"] == "ViT"
+    assert os.path.getsize(out) > 0
