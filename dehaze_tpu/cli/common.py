@@ -81,6 +81,16 @@ def add_common_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
                    help="keep only the newest N per-epoch checkpoints "
                         "(0 = keep all, the reference behavior); "
                         "model_best is never pruned")
+    p.add_argument("--u8_transfer", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="ship train/val batches host->device as raw PNG "
+                        "uint8 and /255 on device (bit-identical values, "
+                        "4x fewer transfer bytes); --no-u8_transfer "
+                        "restores float32 shipping")
+    p.add_argument("--exit_after", type=int, default=0,
+                   help="exit cleanly after N epochs in this process "
+                        "(0 = run to --nepoch); bounds host RSS on leaky "
+                        "transports — resume with --resume to continue")
     return p
 
 
@@ -102,6 +112,7 @@ def config_from_args(a: argparse.Namespace) -> Config:
         data=DataConfig(
             train_dir=a.train_dir, val_dir=a.val_dir, train_ps=a.train_ps,
             batch_size=a.batch_size, num_workers=a.train_workers,
+            u8_transfer=a.u8_transfer,
         ),
         train=TrainConfig(
             nepoch=a.nepoch, optimizer=a.optimizer, lr_initial=a.lr_initial,
@@ -109,7 +120,7 @@ def config_from_args(a: argparse.Namespace) -> Config:
             warmup_epochs=a.warmup_epochs, seed=a.seed, save_dir=a.save_dir,
             env=a.env, resume=a.resume, pretrain_weights=a.pretrain_weights,
             data_axis=a.data_axis, accum_steps=a.accum_steps,
-            keep_ckpts=a.keep_ckpts,
+            keep_ckpts=a.keep_ckpts, exit_after=a.exit_after,
         ),
     )
 

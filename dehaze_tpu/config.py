@@ -125,6 +125,10 @@ class DataConfig:
     num_workers: int = 8
     mixup_after_epoch: int = 5  # MixUp enabled for epoch > 5 (`My_train.py:220`)
     mixup_beta: float = 1.2  # Beta(1.2, 1.2) (`utils/dataset_utils.py:48`)
+    # Ship batches host→device as raw PNG uint8 and /255 on device
+    # (≤1 ulp vs float32 shipping; 4× fewer transfer bytes — and on the
+    # relay transport here, 4× less leaked host RSS per epoch).
+    u8_transfer: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -161,6 +165,12 @@ class TrainConfig:
     # reference behavior). model_best is never pruned. A 270-epoch campaign
     # writes ~250 MB/epoch of params+opt_state — ~67 GB unpruned.
     keep_ckpts: int = 0
+    # Exit cleanly after training this many epochs IN THIS PROCESS (0 = run
+    # to nepoch). Bounds host RSS on transports that leak per transferred
+    # byte (DESIGN.md "RSS slope root cause"): a supervisor re-launches with
+    # --resume and the run continues exactly (resume semantics are the
+    # reference's own, proven by the round-3 kill+resume endurance run).
+    exit_after: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

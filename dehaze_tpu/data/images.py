@@ -26,8 +26,14 @@ def is_image_file(filename: str) -> bool:
     return filename.lower().endswith((".png", ".jpg", ".jpeg", ".bmp"))
 
 
-def load_img(path: str) -> np.ndarray:
-    """[H, W, 3] float32 RGB in [0, 1] (cv2 BGR→RGB, /255)."""
+def load_img(path: str, u8: bool = False) -> np.ndarray:
+    """[H, W, 3] float32 RGB in [0, 1] (cv2 BGR→RGB, /255).
+
+    `u8=True` returns the raw uint8 RGB instead — the source fidelity of a
+    PNG. Consumers normalize ON DEVICE (`train.trainer.u8_norm`), matching
+    the /255 here to ≤1 ulp while transferring 4× fewer bytes host→device
+    (and, on this relay transport, leaking 4× less host RSS — see DESIGN.md
+    "RSS slope root cause")."""
     if _HAS_CV2:
         img = cv2.imread(path, cv2.IMREAD_COLOR)
         if img is None:
@@ -35,6 +41,8 @@ def load_img(path: str) -> np.ndarray:
         img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
     else:  # pragma: no cover
         img = np.asarray(Image.open(path).convert("RGB"))
+    if u8:
+        return np.ascontiguousarray(img)
     return img.astype(np.float32) / 255.0
 
 

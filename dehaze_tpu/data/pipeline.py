@@ -54,11 +54,11 @@ class PairedFolder:
 
 
 def _load_train_item(
-    pair: Tuple[str, str], ps: int, seed: int
+    pair: Tuple[str, str], ps: int, seed: int, u8: bool = False
 ) -> Tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
-    clean = load_img(pair[0])
-    noisy = load_img(pair[1])
+    clean = load_img(pair[0], u8=u8)
+    noisy = load_img(pair[1], u8=u8)
     clean, noisy = random_crop_pair(rng, clean, noisy, ps)
     k = int(rng.integers(0, 8))
     return dihedral(clean, k), dihedral(noisy, k)
@@ -101,8 +101,13 @@ def train_batches(
     drop_last: bool = False,
     process_index: Optional[int] = None,
     process_count: Optional[int] = None,
+    u8: bool = False,
 ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
     """One epoch of shuffled (clean, noisy) NHWC float32 batches.
+
+    `u8=True` yields uint8 batches instead (crops/dihedral are dtype-
+    agnostic); the consumer normalizes on device with `trainer.u8_norm` —
+    values match the float path to ≤1 ulp, with 4× fewer transfer bytes.
 
     Deterministic given (seed, epoch). Last short batch is padded by wrapping
     (fixed shapes for XLA) unless drop_last.
@@ -130,7 +135,7 @@ def train_batches(
 
     plan = _epoch_schedule(len(folder), batch_size, seed, epoch, drop_last)
     args = [
-        ((folder.clean_files[i], folder.noisy_files[i]), patch_size, s)
+        ((folder.clean_files[i], folder.noisy_files[i]), patch_size, s, u8)
         for batch in plan
         for (i, s) in batch[lo:lo + local_bs]
     ]

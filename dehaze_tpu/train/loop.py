@@ -25,7 +25,8 @@ from dehaze_tpu.train.trainer import Trainer
 from dehaze_tpu.utils.logging import RunLogger
 
 
-def _val_batches(folder: PairedFolder, ps: int, batch_size: int, seed: int = 0):
+def _val_batches(folder: PairedFolder, ps: int, batch_size: int, seed: int = 0,
+                 u8: bool = False):
     """Validation patches: center-crop val images to a fixed ps² so shapes are
     static (the reference's val set is pre-cropped patch files; this handles
     both pre-cropped and whole-image val dirs).
@@ -39,7 +40,7 @@ def _val_batches(folder: PairedFolder, ps: int, batch_size: int, seed: int = 0):
 
     items_c, items_n = [], []
     for c, n in zip(folder.clean_files, folder.noisy_files):
-        ci, ni = load_img(c), load_img(n)
+        ci, ni = load_img(c, u8=u8), load_img(n, u8=u8)
         h, w = ci.shape[:2]
         if (h, w) != (ps, ps):
             r = max((h - ps) // 2, 0)
@@ -163,15 +164,17 @@ def fit(cfg: Config, log_dir: Optional[str] = None) -> Tuple[float, str]:
         state = jax.device_put(state, replicated(mesh))
         bsh = batch_sharding(mesh)
 
-    val, n_val = _val_batches(val_folder, d.train_ps, d.batch_size)
+    val, n_val = _val_batches(val_folder, d.train_ps, d.batch_size,
+                              u8=d.u8_transfer)
     # pre-train sanity line (`My_train.py:165-194`): the reference compares
     # the hazy INPUT against GT directly — no model involved (an evaluate()
     # here would print the init/resumed model's PSNR under this label)
     from dehaze_tpu.ops import metrics as M
+    from dehaze_tpu.train.trainer import u8_norm
 
     _p0, _s0 = [], []
     for clean, hazy in iter(val):
-        c, hz = jnp.asarray(clean), jnp.asarray(hazy)
+        c, hz = u8_norm(jnp.asarray(clean)), u8_norm(jnp.asarray(hazy))
         _p0.append(M.batch_psnr(hz, c))
         _s0.append(M.batch_ssim(hz, c))
     psnr0 = float(np.mean(np.concatenate(jax.device_get(_p0))[:n_val]))
@@ -218,6 +221,7 @@ def fit(cfg: Config, log_dir: Optional[str] = None) -> Tuple[float, str]:
         it = train_batches(
             train_folder, batch_size=d.batch_size, patch_size=d.train_ps,
             seed=t.seed, epoch=epoch, num_workers=d.num_workers,
+            u8=d.u8_transfer,
         )
         it = prefetch_to_device(it)
         for i, (clean, hazy) in enumerate(it):
@@ -293,6 +297,14 @@ def fit(cfg: Config, log_dir: Optional[str] = None) -> Tuple[float, str]:
         )
         if t.keep_ckpts > 0:
             _prune_epoch_ckpts(model_dir, t.keep_ckpts, epoch)
+        if t.exit_after and (epoch - start_epoch + 1) >= t.exit_after \
+                and epoch < t.nepoch:
+            logger.text(
+                f"==> --exit_after {t.exit_after}: stopping at epoch "
+                f"{epoch}/{t.nepoch}; resume with --resume "
+                f"--pretrain_weights "
+                f"{os.path.join(model_dir, f'epoch_model_{epoch}.msgpack')}")
+            break
 
     ckpt_writer.close()
     return best_psnr, os.path.join(model_dir, "model_best.msgpack")

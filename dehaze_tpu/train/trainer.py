@@ -45,6 +45,22 @@ class TrainState:
     opt_state: Any
 
 
+def u8_norm(x: jnp.ndarray) -> jnp.ndarray:
+    """Device-side /255 for uint8 batches (no-op for float inputs).
+
+    Counterpart of `data.pipeline.train_batches(u8=True)`: the pipeline
+    ships raw PNG uint8 and this cast (inside the jitted step, so XLA fuses
+    it into the first consumer) reproduces `images.load_img`'s
+    `astype(float32)/255` to ≤1 ulp (XLA lowers the divide as a
+    reciprocal multiply: 126 of the 256 u8 values land 6e-8 off the
+    correctly-rounded host quotient — 4000× below PNG's own quantization
+    step) while the host→device transfer — the relay-leak-prone direction,
+    DESIGN.md "RSS slope root cause" — carries 4× fewer bytes."""
+    if x.dtype == jnp.uint8:
+        return x.astype(jnp.float32) / np.float32(255.0)
+    return x
+
+
 def make_optimizer(cfg: Config, steps_per_epoch: int,
                    epoch_lr=None) -> optax.GradientTransformation:
     epoch_lr = epoch_lr or make_epoch_lr(cfg.train)
@@ -86,7 +102,7 @@ class Trainer:
 
     # ---------------------------------------------------------------- init
     def init_state(self, rng: jax.Array, sample_batch: np.ndarray) -> TrainState:
-        x = jnp.asarray(sample_batch)
+        x = u8_norm(jnp.asarray(sample_batch))
         k1, k2 = jax.random.split(rng)
 
         def init_fn():
@@ -114,6 +130,7 @@ class Trainer:
         accum_steps: int = 1,
     ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         cfg = self.cfg
+        clean, hazy = u8_norm(clean), u8_norm(hazy)
         k_mix, k_sample, k_drop, k_dp = jax.random.split(rng, 4)
         if use_mixup:
             # MixUp draws one shared λ over the FULL effective batch before
@@ -211,6 +228,7 @@ class Trainer:
 
     # ------------------------------------------------------------ eval step
     def _eval_step_impl(self, params, clean, hazy, rng):
+        clean, hazy = u8_norm(clean), u8_norm(hazy)
         restored = self.model.apply(
             {"params": params}, hazy, train=False, rngs={"sample": rng}
         )

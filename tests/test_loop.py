@@ -129,3 +129,20 @@ def test_monitor_smoke():
     stop = start_background_monitor(interval=0.2)
     time.sleep(0.5)
     stop.set()
+
+
+@pytest.mark.slow  # two fit() compiles
+def test_fit_exit_after_then_resume(tiny_ds, tmp_path):
+    """--exit_after N stops the process's loop after N epochs (bounded-RSS
+    campaign mode) and a plain --resume continues to nepoch exactly as the
+    kill+resume path does."""
+    cfg = _cfg(tiny_ds, tmp_path, exit_after=1)  # nepoch 2, stop after 1
+    fit(cfg)
+    model_dir = os.path.join(str(tmp_path), "uformer_t", "models")
+    assert os.path.exists(os.path.join(model_dir, "epoch_model_1.msgpack"))
+    assert not os.path.exists(os.path.join(model_dir, "epoch_model_2.msgpack"))
+    cfg2 = _cfg(tiny_ds, tmp_path, resume=True,
+                pretrain_weights=os.path.join(model_dir,
+                                              "epoch_model_1.msgpack"))
+    fit(cfg2)
+    assert os.path.exists(os.path.join(model_dir, "epoch_model_2.msgpack"))

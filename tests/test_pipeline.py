@@ -170,3 +170,17 @@ def test_synth_dataset(tmp_path):
     assert h1.min() >= 0.0 and h1.max() <= 1.0
     # haze raises mean luminance toward airlight
     assert h1.mean() > c1.mean() - 0.05
+
+
+def test_u8_batches_match_float_exactly(tiny_dataset):
+    """u8=True ships raw PNG uint8; u8/255 must be BIT-identical to the
+    float32 path (load_img's astype(float32)/255 of the same bytes)."""
+    folder = PairedFolder(tiny_dataset)
+    kw = dict(batch_size=2, patch_size=16, seed=7, epoch=3, num_workers=2)
+    f32 = list(train_batches(folder, **kw))
+    u8 = list(train_batches(folder, u8=True, **kw))
+    assert len(f32) == len(u8) > 0
+    for (c32, n32), (c8, n8) in zip(f32, u8):
+        assert c8.dtype == np.uint8 and n8.dtype == np.uint8
+        np.testing.assert_array_equal(c32, c8.astype(np.float32) / 255.0)
+        np.testing.assert_array_equal(n32, n8.astype(np.float32) / 255.0)

@@ -254,3 +254,44 @@ def test_prune_epoch_ckpts(tmp_path):
     assert sorted(os.listdir(d)) == [
         "epoch_model_5.msgpack", "epoch_model_8.msgpack",
         "epoch_model_notanum.msgpack", "model_best.msgpack"]
+
+
+def test_u8_transfer_step_matches_float(batch):
+    """A train step fed uint8 batches (device-side /255, trainer.u8_norm)
+    matches the float32 path to input-ulp precision: XLA lowers the /255
+    as a reciprocal multiply, so 126/256 u8 values land 1 ulp (6e-8) off
+    the host's correctly-rounded quotient — everything downstream must
+    track within ordinary float tolerance."""
+    clean, hazy = batch
+    # quantize the float fixture to u8 grid so both paths share a source
+    c8 = (clean * 255).round().astype(np.uint8)
+    h8 = (hazy * 255).round().astype(np.uint8)
+    c32 = c8.astype(np.float32) / 255.0
+    h32 = h8.astype(np.float32) / 255.0
+
+    # the normalization itself: ≤1 ulp across all 256 values
+    all_u8 = np.arange(256, dtype=np.uint8)
+    from dehaze_tpu.train.trainer import u8_norm
+    dev = np.asarray(jax.jit(u8_norm)(all_u8))
+    np.testing.assert_allclose(dev, all_u8.astype(np.float32) / 255.0,
+                               rtol=0, atol=6.1e-8)
+
+    results = []
+    for a, b in [(c32, h32), (c8, h8)]:
+        trainer = Trainer(tiny_config(), steps_per_epoch=4)
+        state = trainer.init_state(jax.random.PRNGKey(1234), c32[:1])
+        state, m = trainer.train_step(state, a, b, jax.random.PRNGKey(5),
+                                      use_mixup=False)
+        results.append((float(m["loss"]),
+                        jax.device_get(state.params)))
+    (l_f, p_f), (l_u, p_u) = results
+    assert abs(l_f - l_u) <= 1e-5 * abs(l_f)
+    jax.tree.map(
+        lambda x, y: np.testing.assert_allclose(x, y, rtol=2e-4, atol=2e-6),
+        p_f, p_u)
+    # eval step too
+    trainer = Trainer(tiny_config(), steps_per_epoch=4)
+    st = trainer.init_state(jax.random.PRNGKey(0), c32[:1])
+    pf = trainer.evaluate(st.params, iter([(c32, h32)]))
+    pu = trainer.evaluate(st.params, iter([(c8, h8)]))
+    np.testing.assert_allclose(pf, pu, rtol=1e-4)
