@@ -140,7 +140,8 @@ def cmd_train(args, parser):
 
     args = _apply_config(args, parser)
     (xtr, ytr), (xte, yte), nc, _ = zdata.get_dataset(
-        args.dataset, args.root, n_synth=args.n_synth)
+        args.dataset, args.root, n_synth=args.n_synth,
+        synth_size=args.image_size)
     model = _build(args, nc, xtr)
     steps_per_epoch = max(1, len(xtr) // args.batch_size)
     mesh = None
@@ -220,8 +221,9 @@ def cmd_eval(args, parser):
             x, y = zdata.load_cifar_c(args.root, args.ctype, args.intensity,
                                       "cifar100" if nc == 100 else "cifar10")
         else:
-            _, (x, y), nc, _ = zdata.get_dataset(args.dataset, args.root,
-                                                 n_synth=args.n_synth)
+            _, (x, y), nc, _ = zdata.get_dataset(
+                args.dataset, args.root, n_synth=args.n_synth,
+                synth_size=args.image_size)
         model = _build(args, nc, x)
         variables = _load_variables(args, model, x[: args.batch_size])
         batch_iter = zdata.batches(x, y, args.batch_size)
@@ -261,8 +263,9 @@ def cmd_attack(args, parser):
     from dehaze_tpu.zoo import adversarial as adv
     from dehaze_tpu.zoo import data as zdata
 
-    _, (x, y), nc, _ = zdata.get_dataset(args.dataset, args.root,
-                                         n_synth=args.n_synth)
+    _, (x, y), nc, _ = zdata.get_dataset(
+        args.dataset, args.root, n_synth=args.n_synth,
+        synth_size=args.image_size)
     x, y = x[: args.n_examples], y[: args.n_examples]
     model = _build(args, nc, x)
     variables = _load_variables(args, model, x[: args.batch_size])
@@ -298,8 +301,9 @@ def cmd_fourier(args, parser):
     from dehaze_tpu.zoo import data as zdata
     from dehaze_tpu.zoo import fourier as zf
 
-    _, (x, y), nc, _ = zdata.get_dataset(args.dataset, args.root,
-                                         n_synth=args.n_synth)
+    _, (x, y), nc, _ = zdata.get_dataset(
+        args.dataset, args.root, n_synth=args.n_synth,
+        synth_size=args.image_size)
     model = _build(args, nc, x)
     variables = _load_variables(args, model, x[: args.batch_size])
     latents = zf.collect_latents(model, variables, x[: args.batch_size])
@@ -325,8 +329,9 @@ def cmd_predtime(args, parser):
     from dehaze_tpu.zoo import data as zdata
     from dehaze_tpu.zoo import evaluate as zeval
 
-    _, (x, _y), nc, _ = zdata.get_dataset(args.dataset, args.root,
-                                          n_synth=args.n_synth)
+    _, (x, _y), nc, _ = zdata.get_dataset(
+        args.dataset, args.root, n_synth=args.n_synth,
+        synth_size=args.image_size)
     model = _build(args, nc, x)
     variables = _load_variables(args, model, x[: args.batch_size])
     size = (args.batch_size,) + x.shape[1:]

@@ -142,8 +142,11 @@ def measure_executive_time(model, variables,
     """≙ `models.measure_executive_time` (`models/__init__.py:409-423`):
     mean seconds per forward at `size` (NHWC here). Jitted + device-synced;
     one warmup call excludes compile time."""
-    fwd = jax.jit(lambda x: model.apply(
-        variables, x, train=False, rngs={"dropout": jax.random.PRNGKey(1)}))
+    # variables as a jit ARGUMENT (closures bake weights into the HLO as
+    # constants — see evaluate.make_predict_fn)
+    jfwd = jax.jit(lambda vs, x: model.apply(
+        vs, x, train=False, rngs={"dropout": jax.random.PRNGKey(1)}))
+    fwd = lambda x: jfwd(variables, x)
     key = jax.random.PRNGKey(seed)
     meter = AverageMeter("time")
     x = jax.random.normal(key, size)

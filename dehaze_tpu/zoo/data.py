@@ -84,10 +84,15 @@ def _load_cifar_pickles(root: str, name: str):
 
 
 def get_dataset(name: str, root: str = "./data", n_synth: int = 512,
-                num_classes: Optional[int] = None, seed: int = 0):
+                num_classes: Optional[int] = None, seed: int = 0,
+                synth_size: Optional[int] = None):
     """≙ `ops/datasets.get_dataset`: returns ((x_train, y_train),
     (x_test, y_test), num_classes, (mean, std)); images NHWC float,
-    already normalized like the torch pipelines."""
+    already normalized like the torch pipelines.
+
+    `synth_size` sets the synthetic images' HxW (default 32, CIFAR-shaped) —
+    needed for geometry-constrained families like Swin, whose reference
+    pools (4,2,2,2) + window 7 only divide at ImageNet's 224."""
     if name in ("cifar", "cifar10", "cifar-10"):
         (xtr, ytr), (xte, yte) = _load_cifar_pickles(root, "cifar10")
         mean, std = CIFAR10_MEAN, CIFAR10_STD
@@ -98,7 +103,8 @@ def get_dataset(name: str, root: str = "./data", n_synth: int = 512,
         nc = 100
     elif name == "synthetic":
         nc = num_classes or 10
-        (xtr, ytr), (xte, yte) = synthetic_dataset(n_synth, nc, seed=seed)
+        (xtr, ytr), (xte, yte) = synthetic_dataset(n_synth, nc, seed=seed,
+                                                   size=synth_size or 32)
         mean, std = CIFAR10_MEAN, CIFAR10_STD
     else:
         raise NotImplementedError(name)

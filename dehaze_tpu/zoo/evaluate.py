@@ -146,18 +146,27 @@ def _nll(ys_pred: np.ndarray, ys, ys_soft: Optional[np.ndarray],
 
 
 def make_predict_fn(model, variables, n_ff: int = 1):
-    """jitted mean-of-softmax over n_ff forward passes (`tests.py:83-84`)."""
+    """jitted mean-of-softmax over n_ff forward passes (`tests.py:83-84`).
+
+    `variables` is a jit ARGUMENT, not a closure: closed-over trees are
+    baked into the lowered HLO as constants, which bloats the serialized
+    program by the full weight bytes (a 128M-param VGG = a ~515 MB compile
+    payload — over this environment's relay upload cap, HTTP 413) and
+    recompiles on every new checkpoint. As an argument the weights stay
+    device buffers referenced by handle."""
 
     @jax.jit
-    def predict(x, rng):
+    def predict(vs, x, rng):
         def one(key):
             return jax.nn.softmax(model.apply(
-                variables, x, train=False, rngs={"dropout": key}), axis=-1)
+                vs, x, train=False, rngs={"dropout": key}), axis=-1)
 
         keys = jax.random.split(rng, n_ff)
         return jnp.mean(jax.vmap(one)(keys), axis=0)
 
-    return predict
+    fn = lambda x, rng: predict(variables, x, rng)
+    fn._jitted = predict  # introspection hook for the no-baked-weights test
+    return fn
 
 
 def test(model, variables, dataset: Iterable[Tuple[np.ndarray, np.ndarray]],

@@ -366,3 +366,47 @@ def test_nll_finite_with_zero_nontarget_probs(ref_tests):
     want_inf = float(torch.nn.CrossEntropyLoss()(
         torch.log(torch.from_numpy(p)), torch.from_numpy(ys_inf)))
     assert np.isposinf(got_inf) and np.isposinf(want_inf)
+
+
+def test_predict_fn_weights_passed_not_baked():
+    """make_predict_fn must pass `variables` as a jit ARGUMENT: closing over
+    a (numpy) weight tree bakes it into the lowered HLO as literal
+    constants — a 128M-param VGG became a ~515 MB compile payload, over the
+    TPU relay's upload cap (HTTP 413 on remote_compile). The lowered text
+    must stay orders of magnitude below the weight bytes."""
+    import flax.linen as nn
+    from dehaze_tpu.zoo import evaluate as zeval
+
+    import jax
+
+    class Big(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return nn.Dense(4096)(x.reshape((x.shape[0], -1)))
+
+    model = Big()
+    x = np.zeros((2, 16, 16, 3), np.float32)
+    variables = jax.tree.map(
+        np.asarray, model.init(jax.random.PRNGKey(0), x))  # ~12 MB f32
+    nbytes = sum(a.nbytes for a in jax.tree.leaves(variables))
+    assert nbytes > 10e6
+
+    fn = zeval.make_predict_fn(model, variables)
+    rng = jax.random.PRNGKey(1)
+    text = fn._jitted.lower(variables, x, rng).as_text()
+    assert len(text) < nbytes / 100, (
+        f"lowered HLO is {len(text)} bytes for {nbytes} weight bytes — "
+        f"weights are being baked into the program")
+    # and it still computes
+    out = np.asarray(fn(x, rng))
+    assert out.shape == (2, 4096) and np.isfinite(out).all()
+
+
+def test_synthetic_dataset_honors_image_size():
+    """`--image_size` must size the synthetic data too (Swin's reference
+    geometry only divides at 224; a 224 model on 32^2 data crashes)."""
+    from dehaze_tpu.zoo.data import get_dataset
+
+    (xtr, _), (xte, _), nc, _ = get_dataset("synthetic", n_synth=4,
+                                            synth_size=64)
+    assert xtr.shape[1:] == (64, 64, 3) and xte.shape[1:] == (64, 64, 3)
