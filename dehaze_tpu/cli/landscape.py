@@ -86,6 +86,13 @@ def main():
             vgg_params = vgg_mod.init_vgg_params(vgg)
 
     def batch_loss_impl(p, clean, hazy, k):
+        # uint8 batches normalize on device (≤1 ulp vs float32 shipping;
+        # 4× fewer relay bytes — a full-fidelity 441-pt sweep re-iterates
+        # the train set ~56×, which in float32 is ~110 GB of h→d transfer
+        # and, on this leaky transport, ~110 GB of host RSS)
+        from dehaze_tpu.train.trainer import u8_norm
+
+        clean, hazy = u8_norm(clean), u8_norm(hazy)
         if args.use_mixup:
             clean, hazy = mixup(k, clean, hazy, cfg.data.mixup_beta)
         if is_ffa and not args.no_normalize:
@@ -166,7 +173,8 @@ def main():
         losses = []
         it = train_batches(folder, batch_size=cfg.data.batch_size,
                            patch_size=cfg.data.train_ps, seed=cfg.train.seed,
-                           epoch=0, num_workers=cfg.data.num_workers)
+                           epoch=0, num_workers=cfg.data.num_workers,
+                           u8=cfg.data.u8_transfer)
         for i, (clean, hazy) in enumerate(it):
             if args.max_batches and i >= args.max_batches:
                 break
