@@ -132,6 +132,12 @@ def build_dehaze_fn(args, cfg):
     max_geoms = max(1, getattr(args, "max_geometries", 8))
     runs = collections.OrderedDict()  # LRU: geometry -> quantized forward
 
+    # live-weights forwards normalize uint8 on device (infer.tiled.u8_norm)
+    # — requests ship 4× fewer bytes to the chip; exported artifacts bake a
+    # float32 input signature, so they keep host-side /255
+    info["u8_input"] = (fwd.mode != "exported"
+                        and getattr(args, "u8_transfer", True))
+
     if fwd.mode == "exported":
         info["geometry"] = list(fwd.baked_hw)
         exported_u8 = quantize_u8(fwd.base_fn)
@@ -204,7 +210,8 @@ def make_handler(dehaze, info):
                     self._send(400, b"missing or oversized body",
                                "text/plain")
                     return
-                out = dehaze(decode_img(self.rfile.read(n)))
+                out = dehaze(decode_img(self.rfile.read(n),
+                                        u8=info.get("u8_input", False)))
                 body, code, ctype = encode_img(out), 200, "image/png"
             except ValueError as e:  # undecodable / wrong geometry / cap
                 body, code, ctype = str(e).encode(), 400, "text/plain"

@@ -61,9 +61,23 @@ def main():
 
         mesh = make_mesh(args.data_axis)
 
+    load_fn = None
+    if fwd.mode != "exported" and mesh is None and args.u8_transfer:
+        # live single-device serving decodes straight to uint8; the jitted
+        # forward normalizes on device (infer.tiled u8_norm) — 4× fewer
+        # h→d bytes per frame. Exported artifacts bake a float32 input
+        # signature and the mesh path shards host float arrays; both keep
+        # the float decode.
+        from functools import partial
+
+        from dehaze_tpu.data.images import load_img
+
+        load_fn = partial(load_img, u8=True)
+
     stats = stream_dehaze(fwd.apply_fn, frames, ps=args.train_ps,
                           square=args.square, native=is_ffa, mesh=mesh,
-                          base_fn=fwd.base_fn, base_hw=fwd.baked_hw)
+                          base_fn=fwd.base_fn, base_hw=fwd.baked_hw,
+                          load_fn=load_fn)
     canvas = ("exported" if args.exported
               else "native" if is_ffa
               else "square" if args.square else "rect")

@@ -56,9 +56,12 @@ def save_img(path: str, img: np.ndarray) -> None:
         Image.fromarray(img).save(path)
 
 
-def decode_img(data: bytes) -> np.ndarray:
+def decode_img(data: bytes, u8: bool = False) -> np.ndarray:
     """Encoded image bytes → [H, W, 3] float32 RGB in [0, 1] (load_img
-    semantics for in-memory payloads — the HTTP serving path)."""
+    semantics for in-memory payloads — the HTTP serving path).
+
+    `u8=True` returns raw uint8 RGB (see `load_img`): the serving forwards
+    normalize on device, so requests ship 4× fewer bytes to the chip."""
     if _HAS_CV2:
         img = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
         if img is None:
@@ -68,6 +71,8 @@ def decode_img(data: bytes) -> np.ndarray:
         import io
 
         img = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    if u8:
+        return np.ascontiguousarray(img)
     return img.astype(np.float32) / 255.0
 
 

@@ -26,6 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from dehaze_tpu.utils.transfer import u8_norm
+
 
 def canvas_size(h: int, w: int, ps: int) -> int:
     """L = (max(H, W) // ps + 1) * ps (`test_long_GPU.py:79-80`).
@@ -89,7 +91,9 @@ def make_whole_image_fn(
 
     @jax.jit
     def run(img):
-        canvas = wrap_pad_canvas(img, L, Lw)
+        # accepts float32 [0,1] OR raw uint8 (normalized on device, ≤1 ulp
+        # — 4× fewer h→d bytes per frame; see utils.transfer.u8_norm)
+        canvas = wrap_pad_canvas(u8_norm(img), L, Lw)
         out = apply_fn(canvas)
         return jnp.clip(out[:, :h, :w, :], 0.0, 1.0)
 
@@ -108,7 +112,7 @@ def make_native_image_fn(
 
     @jax.jit
     def run(img):
-        return jnp.clip(apply_fn(img), 0.0, 1.0)
+        return jnp.clip(apply_fn(u8_norm(img)), 0.0, 1.0)
 
     return run
 

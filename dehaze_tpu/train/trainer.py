@@ -45,20 +45,10 @@ class TrainState:
     opt_state: Any
 
 
-def u8_norm(x: jnp.ndarray) -> jnp.ndarray:
-    """Device-side /255 for uint8 batches (no-op for float inputs).
-
-    Counterpart of `data.pipeline.train_batches(u8=True)`: the pipeline
-    ships raw PNG uint8 and this cast (inside the jitted step, so XLA fuses
-    it into the first consumer) reproduces `images.load_img`'s
-    `astype(float32)/255` to ≤1 ulp (XLA lowers the divide as a
-    reciprocal multiply: 126 of the 256 u8 values land 6e-8 off the
-    correctly-rounded host quotient — 4000× below PNG's own quantization
-    step) while the host→device transfer — the relay-leak-prone direction,
-    DESIGN.md "RSS slope root cause" — carries 4× fewer bytes."""
-    if x.dtype == jnp.uint8:
-        return x.astype(jnp.float32) / np.float32(255.0)
-    return x
+# Device-side /255 for uint8 batches; canonical home is utils.transfer
+# (see its docstring — ≤1 ulp vs host /255, 4× fewer h→d bytes). Re-exported
+# here because the train step is its primary consumer.
+from dehaze_tpu.utils.transfer import u8_norm  # noqa: E402
 
 
 def make_optimizer(cfg: Config, steps_per_epoch: int,

@@ -55,3 +55,17 @@ def device_get_packed(tree: Any) -> Any:
         if isinstance(leaf, jax.Array) and leaf.size == 0:
             out[i] = np.asarray(leaf)
     return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def u8_norm(x):
+    """Device-side /255 for uint8 arrays (no-op for float inputs).
+
+    The host→device half of the transfer story: ship raw PNG uint8 and
+    cast inside the jitted consumer (XLA fuses it into the first op) —
+    4× fewer bytes than float32 shipping, values within 1 ulp of the
+    host's `astype(float32)/255` (XLA lowers the divide as a reciprocal
+    multiply). Used by the train step, the landscape sweep, and the
+    whole-image inference forwards."""
+    if x.dtype == jnp.uint8:
+        return x.astype(jnp.float32) / np.float32(255.0)
+    return x

@@ -93,8 +93,11 @@ def test_cli_export_then_stream(tiny_run, tiny_uformer, cli_run, tmp_path):
                    "--result_dir", str(tmp_path / "out_art")] + tiny)
     assert "exported canvas" in out
 
+    # --no-u8_transfer pins the float32 input path: the artifact bakes a
+    # float32 signature, and u8-vs-f32 inputs differ by 1 ulp, which can
+    # flip a pixel sitting exactly on a quantization boundary
     cli_run(["dehaze_tpu.cli.stream", "--input_dir", str(src),
-             "--weights", ckpt,
+             "--weights", ckpt, "--no-u8_transfer",
              "--result_dir", str(tmp_path / "out_ckpt")] + tiny)
     for i in range(2):
         a = cv2.imread(str(tmp_path / "out_art" / f"{i}.png"))

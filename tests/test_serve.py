@@ -67,14 +67,15 @@ def test_healthz_and_dehaze(server, tiny_uformer):
     got = cv2.imdecode(np.frombuffer(resp.read(), np.uint8),
                        cv2.IMREAD_COLOR)
 
-    # oracle: the same forward through the library path
+    # oracle: the same forward through the library path — uint8 input like
+    # the live server (decode_img(u8=True) + device-side u8_norm)
     from dehaze_tpu.infer.tiled import make_whole_image_fn
 
-    rgb = cv2.cvtColor(img_bgr, cv2.COLOR_BGR2RGB).astype(np.float32) / 255
+    rgb_u8 = cv2.cvtColor(img_bgr, cv2.COLOR_BGR2RGB)
     run = make_whole_image_fn(
         lambda x: model.apply(v, x, train=False, rngs={"sample": k}),
         40, 56, 32, square=False)
-    want = np.clip(np.asarray(run(jnp.asarray(rgb)[None])[0]) * 255 + 0.5,
+    want = np.clip(np.asarray(run(jnp.asarray(rgb_u8)[None])[0]) * 255 + 0.5,
                    0, 255).astype(np.uint8)
     np.testing.assert_array_equal(got, cv2.cvtColor(want,
                                                     cv2.COLOR_RGB2BGR))
