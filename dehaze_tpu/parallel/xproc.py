@@ -53,10 +53,21 @@ def run_worker(num_processes: int, process_id: int, coordinator: str,
     n_global = len(jax.devices())
     mesh = make_mesh(n_global)
     if num_processes > 1:
-        # Establish the Gloo context NOW, while both processes are seconds
-        # apart: its full-mesh rendezvous has a hard 30 s key-exchange
-        # timeout, and on a 1-core host the first collective otherwise fires
-        # only after minutes of (stagger-prone) concurrent compilation.
+        # Gloo's first-collective rendezvous has a HARD 30 s key-exchange
+        # timeout; on a 1-core host concurrent imports/compiles stagger the
+        # processes past it. Align them first through the coordination
+        # service itself (a plain key-value barrier with a long timeout, no
+        # Gloo involved), so the Gloo context init that follows starts with
+        # both processes microseconds apart.
+        try:
+            from jax._src import distributed
+
+            client = distributed.global_state.client
+            client.key_value_set(f"xproc_barrier/{process_id}", "up")
+            for p in range(num_processes):
+                client.blocking_key_value_get(f"xproc_barrier/{p}", 600_000)
+        except Exception:  # private API moved — fall back to the collective
+            pass
         from jax.experimental import multihost_utils
 
         multihost_utils.sync_global_devices("xproc_start")
