@@ -13,7 +13,7 @@ import os
 import jax
 import numpy as np
 
-from dehaze_tpu.data.pipeline import PairedFolder, prefetch_to_device, train_batches
+from dehaze_tpu.data.pipeline import PairedFolder, train_batches
 from dehaze_tpu.train.checkpoint import AsyncCheckpointer
 from dehaze_tpu.train.ffa_trainer import FFATrainer
 from dehaze_tpu.train.loop import _val_batches
@@ -76,7 +76,9 @@ def main():
                "max_ssim": 0.0}
     ckpt_writer = AsyncCheckpointer()
     loss_futs = []  # async device scalars; fetched with one step of lag
-    it = prefetch_to_device(infinite_batches())
+    # main-thread transfers only: the relay client is not reentrant (see
+    # train/loop.py and the AsyncCheckpointer docstring)
+    it = infinite_batches()
     for step, (clean, hazy) in enumerate(it, start=1):
         if step > a.steps:
             break

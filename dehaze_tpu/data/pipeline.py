@@ -232,7 +232,15 @@ def test_images(rgb_dir: str, subdir: str = "HAZY") -> Iterator[Tuple[np.ndarray
 
 
 def prefetch_to_device(it: Iterator, size: int = 2) -> Iterator:
-    """Double-buffered device prefetch: stage next batch while current runs."""
+    """Double-buffered device prefetch: stage next batch while current runs.
+
+    WARNING — only for transports with a thread-safe client. The axon
+    relay in this environment is NOT reentrant: a producer-thread
+    device_put racing main-thread dispatch deadlocked one run and
+    corrupted the device arena (RESOURCE_EXHAUSTED) in another — the
+    train loops now transfer on the main thread instead (train/loop.py,
+    cli/ffa_train.py). Kept for real PJRT hosts, where the overlap is the
+    standard input-pipeline idiom."""
     import jax
 
     q: "queue.Queue" = queue.Queue(maxsize=size)

@@ -53,24 +53,40 @@ def run_worker(num_processes: int, process_id: int, coordinator: str,
     n_global = len(jax.devices())
     mesh = make_mesh(n_global)
     if num_processes > 1:
-        # Gloo's first-collective rendezvous has a HARD 30 s key-exchange
-        # timeout; on a 1-core host concurrent imports/compiles stagger the
-        # processes past it. Align them first through the coordination
-        # service itself (a plain key-value barrier with a long timeout, no
-        # Gloo involved), so the Gloo context init that follows starts with
-        # both processes microseconds apart.
-        try:
+        # Gloo's context init happens at the first collective's EXECUTION
+        # and has a HARD 30 s key-exchange window. On a 1-core host the two
+        # processes' compiles contend and stagger execution far past it —
+        # even when process entry is aligned. So: (1) AOT-compile the first
+        # collective on both processes (no Gloo involved), (2) barrier
+        # through the coordination service's key-value store (long timeout,
+        # no Gloo), (3) execute — the only post-barrier work before Gloo
+        # init is a dispatch, microseconds of stagger.
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as _PS
+
+        from dehaze_tpu.parallel.mesh import global_batch_from_local
+
+        _sync = jax.jit(shard_map(
+            lambda x: jax.lax.psum(x, "data"), mesh=mesh,
+            in_specs=_PS("data"), out_specs=_PS()))
+        _x = global_batch_from_local(
+            mesh, np.ones((n_global // num_processes, 1), np.float32))
+        _compiled = _sync.lower(_x).compile()
+
+        def _kv_barrier(tag: str) -> None:
             from jax._src import distributed
 
             client = distributed.global_state.client
-            client.key_value_set(f"xproc_barrier/{process_id}", "up")
+            client.key_value_set(f"xproc/{tag}/{process_id}", "up")
             for p in range(num_processes):
-                client.blocking_key_value_get(f"xproc_barrier/{p}", 600_000)
-        except Exception:  # private API moved — fall back to the collective
-            pass
-        from jax.experimental import multihost_utils
+                client.blocking_key_value_get(f"xproc/{tag}/{p}", 600_000)
 
-        multihost_utils.sync_global_devices("xproc_start")
+        try:
+            _kv_barrier("precompiled")
+        except Exception:  # private kv API moved — fall back to luck
+            pass
+        np.testing.assert_allclose(np.asarray(_compiled(_x)),
+                                   float(n_global))
     results: dict = {"process_id": process_id,
                      "num_processes": num_processes,
                      "n_global_devices": n_global}

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dehaze_tpu.config import Config
-from dehaze_tpu.data.pipeline import PairedFolder, prefetch_to_device, train_batches
+from dehaze_tpu.data.pipeline import PairedFolder, train_batches
 from dehaze_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
 from dehaze_tpu.train.checkpoint import AsyncCheckpointer
 from dehaze_tpu.train.schedule import make_epoch_lr, resume_cosine_lr
@@ -223,7 +223,14 @@ def fit(cfg: Config, log_dir: Optional[str] = None) -> Tuple[float, str]:
             seed=t.seed, epoch=epoch, num_workers=d.num_workers,
             u8=d.u8_transfer,
         )
-        it = prefetch_to_device(it)
+        # Transfers happen on the MAIN thread (no prefetch_to_device here):
+        # the relay client is not reentrant — a producer-thread device_put
+        # racing the main thread's step dispatch deadlocked round 4's
+        # campaign once (AsyncCheckpointer docstring) and, at the 3× step
+        # rate the uint8 path unlocked, corrupted the device arena into
+        # RESOURCE_EXHAUSTED after ~1 epoch (supervisor log, session 3).
+        # Decode still overlaps via the pipeline's own thread pool; the
+        # unhidden u8 batch transfer is ~3 MB ≈ milliseconds per step.
         for i, (clean, hazy) in enumerate(it):
             if mesh is not None:
                 clean = jax.device_put(clean, bsh)
