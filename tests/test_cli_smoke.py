@@ -112,3 +112,71 @@ def test_cli_monitor(tmp_path, cli_run):
     lines = [ln for ln in out.splitlines() if "cpu" in ln and "mem" in ln]
     assert len(lines) == 2
     assert log.read_text().count("cpu") == 2
+
+
+def test_cli_archive_params(tiny_uformer, cli_run, tmp_path):
+    """Params-only shadow archive: smaller files, loadable by the
+    trajectory loader (empty opt_state), idempotent across re-runs."""
+    import optax
+
+    from dehaze_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+    params = tiny_uformer[2]["params"]
+    opt_state = optax.adamw(1e-3).init(params)
+    models = tmp_path / "models"
+    models.mkdir()
+    for e in (1, 2):
+        save_checkpoint(str(models / f"epoch_model_{e}.msgpack"), e,
+                        params, opt_state)
+    save_checkpoint(str(models / "model_best.msgpack"), 2, params, opt_state)
+    arch = tmp_path / "traj"
+    out = cli_run(["dehaze_tpu.cli.archive_params", "--models_dir", str(models),
+                   "--out_dir", str(arch)], timeout=60)
+    assert "archived 2 new (2 total)" in out
+    # model_best is not an epoch file and must not be shadowed
+    assert sorted(p.name for p in arch.glob("*.msgpack")) == [
+        "epoch_model_1.msgpack", "epoch_model_2.msgpack"]
+    full = (models / "epoch_model_1.msgpack").stat().st_size
+    slim = (arch / "epoch_model_1.msgpack").stat().st_size
+    assert slim < full / 2
+    epoch, restored, opt, _ = load_checkpoint(str(arch / "epoch_model_2.msgpack"),
+                                              params)
+    assert epoch == 2 and opt is None
+    np.testing.assert_array_equal(
+        jax.tree.leaves(restored)[0], jax.tree.leaves(params)[0])
+    # idempotent: second run archives nothing new
+    out = cli_run(["dehaze_tpu.cli.archive_params", "--models_dir", str(models),
+                   "--out_dir", str(arch)], timeout=60)
+    assert "archived 0 new (2 total)" in out
+
+
+def test_cli_curves(tmp_path, cli_run):
+    """Segment merge: the resumed segment's re-run epoch supersedes the
+    crashed one; CSV joins epoch and eval rows."""
+    import json
+
+    log = tmp_path / "log"
+    log.mkdir()
+    seg1 = [{"t": "2026-01-01T00:00:01", "kind": "epoch", "epoch": 1,
+             "loss": 10.0, "seconds": 5.0, "img_per_s": 50.0, "rss_gb": 1.0},
+            {"t": "2026-01-01T00:00:02", "kind": "eval", "epoch": 1,
+             "iter": 4, "psnr": 15.0, "ssim": 0.5},
+            {"t": "2026-01-01T00:00:03", "kind": "epoch", "epoch": 2,
+             "loss": 9.0, "seconds": 5.0, "img_per_s": 51.0, "rss_gb": 1.1}]
+    # resume re-runs epoch 2 with a different loss, then a torn tail line
+    seg2 = [{"t": "2026-01-01T00:01:00", "kind": "epoch", "epoch": 2,
+             "loss": 8.0, "seconds": 5.0, "img_per_s": 52.0, "rss_gb": 1.0},
+            {"t": "2026-01-01T00:01:01", "kind": "eval", "epoch": 2,
+             "iter": 4, "psnr": 17.0, "ssim": 0.6}]
+    (log / "a.jsonl").write_text("\n".join(json.dumps(d) for d in seg1) + "\n")
+    (log / "b.jsonl").write_text("\n".join(json.dumps(d) for d in seg2)
+                                 + '\n{"kind": "ep')
+    png, csv_path = tmp_path / "c.png", tmp_path / "c.csv"
+    out = cli_run(["dehaze_tpu.cli.curves", "--log_dir", str(log),
+                   "--out", str(png), "--csv", str(csv_path)], timeout=120)
+    assert "2 epochs, 2 eval points, 2 segments" in out
+    assert "best PSNR 17.0000 dB @ epoch 2" in out
+    assert png.exists()
+    rows = csv_path.read_text().splitlines()
+    assert rows[2].startswith("2,8.0,")  # later segment's loss won
+    assert rows[2].endswith("17.0,0.6")
