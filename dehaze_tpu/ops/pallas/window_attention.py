@@ -27,6 +27,16 @@ Grid: (batch, window-tiles, heads) with WTILE windows per step (batched MXU
 dots); the region block rides the window coordinate and the rel-pos bias
 block the head coordinate via BlockSpec index maps — no dynamic indexing in
 the kernel body.
+
+STATUS — reference implementation, flag-gated off the hot path. Measured
+on the v5e chip this kernel is slower than XLA's fusion of the dense jnp
+formulation (1.4 vs 0.57 µs/window; full model 2.16 vs 4.90 Mpix/s), and
+the bench roofline shows the fused jnp path already at ~70% of HBM
+bandwidth — so the byte savings the kernel buys don't overcome its
+VPU-bound tile work on this toolchain (DESIGN.md "Pallas kernel status").
+It remains VJP-complete, bit-verified against ops.probsparse, and tested:
+the worked example of the TPU-native reformulations above and of the
+framework's kernel extension point.
 """
 
 from __future__ import annotations
