@@ -51,7 +51,7 @@ def _build(args, num_classes, sample_x=None):
                      dtype=dtype, **_model_kwargs(args, sample_x))
 
 
-def _load_variables(args, model, sample_x):
+def _load_variables(args, model, sample_x, ckpt=None):
     import jax
 
     from dehaze_tpu.train.checkpoint import load_checkpoint
@@ -59,11 +59,32 @@ def _load_variables(args, model, sample_x):
     k = jax.random.PRNGKey(0)
     template = model.init({"params": k, "dropout": k, "droppath": k},
                           sample_x[:1], train=False)
-    if args.ckpt:
-        _, variables, _, _ = load_checkpoint(args.ckpt, template)
+    ckpt = ckpt or args.ckpt
+    if ckpt:
+        _, variables, _, _ = load_checkpoint(ckpt, template)
         return variables
     print("[zoo] no --ckpt given: using random init")
     return template
+
+
+class _EnsembleApply:
+    """Adapter exposing a deep ensemble through the single-model `.apply`
+    contract `evaluate.make_predict_fn` expects: `variables` is the STACKED
+    member pytree (leading axis M), the forward vmaps the shared module
+    over it and combines members with the reference's log-sum-exp rule
+    (`models/ensemble.py:18-22`; softmax downstream yields the normalized
+    ensemble predictive distribution)."""
+
+    def __init__(self, model):
+        self.model = model
+
+    def apply(self, stacked_vars, x, **kw):
+        import jax
+
+        from dehaze_tpu.zoo.ensemble import combine_logits
+
+        fwd = lambda v: self.model.apply(v, x, **kw)
+        return combine_logits(jax.vmap(fwd)(stacked_vars))
 
 
 def _apply_config(args, parser):
@@ -227,6 +248,16 @@ def cmd_eval(args, parser):
         model = _build(args, nc, x)
         variables = _load_variables(args, model, x[: args.batch_size])
         batch_iter = zdata.batches(x, y, args.batch_size)
+    if getattr(args, "ensemble", None):
+        from dehaze_tpu.zoo.ensemble import stack_variables
+
+        sample = first[0] if args.dataset == "imagenet" else x[:1]
+        members = [variables] + [
+            _load_variables(args, model, sample, ckpt=ck)
+            for ck in args.ensemble]
+        variables = stack_variables(members)
+        model = _EnsembleApply(model)
+        print(f"[zoo] deep ensemble of {len(members)} members")
     metrics = zeval.test(model, variables, batch_iter,
                          n_ff=args.n_ff, fig_path=args.fig)
     print(zeval.repr_metrics(metrics))
@@ -370,6 +401,10 @@ def build_parsers():
     pe.add_argument("--ctype", default=None, help="CIFAR-C corruption type")
     pe.add_argument("--intensity", type=int, default=1)
     pe.add_argument("--fig", default=None, help="reliability-diagram path")
+    pe.add_argument("--ensemble", nargs="+", default=None, metavar="CKPT",
+                    help="additional member checkpoints: evaluate the deep "
+                         "ensemble of --ckpt + these (homogeneous, vmapped "
+                         "stacked-params fast path)")
     pe.add_argument("--json_out", default=None)
     pe.add_argument("--metrics_csv", default=None,
                     help="flattened metric row CSV (≙ tests.save_metrics)")

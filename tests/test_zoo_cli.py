@@ -160,3 +160,21 @@ def test_reference_yaml_configs_ingest(cfg):
             assert getattr(args, k) == mb[k], k
     if tr.get("mixup") is not None:
         assert args.mixup_cfg["mixup_alpha"] == tr["mixup"]["mixup_alpha"]
+
+
+def test_eval_ensemble_cli(trained, cli_run, tmp_path):
+    """--ensemble evaluates the vmapped deep ensemble; an ensemble of the
+    SAME checkpoint twice must reproduce the single-model metrics exactly
+    (logsumexp over identical members is a constant shift, softmax-invariant
+    — `models/ensemble.py:18-22` semantics)."""
+    js1, js2 = tmp_path / "single.json", tmp_path / "ens.json"
+    ck = str(trained / "best.msgpack")
+    cli_run(["dehaze_tpu.cli.zoo", "eval", *COMMON, "--ckpt", ck,
+             "--json_out", str(js1)])
+    outp = cli_run(["dehaze_tpu.cli.zoo", "eval", *COMMON, "--ckpt", ck,
+                    "--ensemble", ck, "--json_out", str(js2)])
+    assert "deep ensemble of 2 members" in outp
+    m1 = json.loads(js1.read_text())
+    m2 = json.loads(js2.read_text())
+    for k in ("nll", "acc", "top5", "ece"):
+        assert m2[k] == pytest.approx(m1[k], abs=1e-5), k
