@@ -140,7 +140,7 @@ def main():
             raise SystemExit(
                 f"--points_per_batch {args.points_per_batch} not divisible "
                 f"by --data_axis {args.data_axis}")
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as PS
         from dehaze_tpu.parallel.mesh import (batch_sharding, make_mesh,
                                               replicated)
@@ -152,7 +152,7 @@ def main():
             jax.vmap(batch_loss_impl, in_axes=(0, None, None, None)),
             mesh=mesh,
             in_specs=(PS("data"), PS(), PS(), PS()),
-            out_specs=PS("data"), check_rep=False))
+            out_specs=PS("data"), check_vma=False))
 
         def shard_stack(p_stack, arrs):
             return (jax.device_put(p_stack, point_sh),

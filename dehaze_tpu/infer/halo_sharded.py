@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from dehaze_tpu.config import ModelConfig, replace
 from dehaze_tpu.infer.tiled import (canvas_size, rect_canvas_size,
@@ -86,7 +86,7 @@ def make_halo_sharded_frame_fn(
         mesh=mesh,
         in_specs=(P(), P(None, axis, None, None)),
         out_specs=P(None, axis, None, None),
-        check_rep=False,
+        check_vma=False,
     )
 
     @jax.jit
@@ -146,7 +146,7 @@ def make_halo_sharded_native_fn(
         mesh=mesh,
         in_specs=(P(), P(None, axis, None, None)),
         out_specs=P(None, axis, None, None),
-        check_rep=False,
+        check_vma=False,
     )
 
     @jax.jit
@@ -224,7 +224,7 @@ def make_halo_sharded_anyres_fn(
         mesh=mesh,
         in_specs=(P(), P(None, axis, None, None), P()),
         out_specs=P(None, axis, None, None),
-        check_rep=False,
+        check_vma=False,
     )
 
     @jax.jit

@@ -148,7 +148,7 @@ def test_halo_banded_ffa_native_equals_single_device(n_dev):
 
 def test_halo_rows_and_roll_primitives():
     """halo_rows edge zeros == SAME padding; roll_rows == global jnp.roll."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     from dehaze_tpu.parallel.halo import halo_rows, roll_rows
@@ -161,7 +161,7 @@ def test_halo_rows_and_roll_primitives():
 
     got = shard_map(f_halo, mesh=mesh, in_specs=P(None, "data", None, None),
                     out_specs=P(None, "data", None, None),
-                    check_rep=False)(jnp.asarray(x))
+                    check_vma=False)(jnp.asarray(x))
     got = np.asarray(got).reshape(1, 4, 6, 4, 2)  # per-band [1+4+1] rows
     xb = x.reshape(1, 4, 4, 4, 2)
     for d in range(4):
@@ -178,6 +178,6 @@ def test_halo_rows_and_roll_primitives():
         rolled = shard_map(f_roll, mesh=mesh,
                            in_specs=P(None, "data", None, None),
                            out_specs=P(None, "data", None, None),
-                           check_rep=False)(jnp.asarray(x))
+                           check_vma=False)(jnp.asarray(x))
         np.testing.assert_array_equal(np.asarray(rolled),
                                       np.roll(x, -s, axis=1))
