@@ -121,14 +121,16 @@ def main():
     img = jnp.asarray(
         np.random.default_rng(0).uniform(size=(BATCH, H, W, 3)).astype(np.float32)
     )
+    from dehaze_tpu.utils.transfer import wait
+
     compiled = run.lower(img).compile()
     for _ in range(WARMUP):
-        run(img).block_until_ready()
+        wait(run(img))
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
         out = run(img)
-    out.block_until_ready()
+    wait(out)  # block_until_ready is a NO-OP on the axon relay (jax 0.9)
     dt = (time.perf_counter() - t0) / ITERS
 
     mpix_s = (BATCH * H * W / 1e6) / dt

@@ -25,6 +25,7 @@ import json
 import sys
 import time
 import types
+from dehaze_tpu.utils.transfer import wait
 
 
 def _stub_modules(ref: str):
@@ -114,11 +115,11 @@ def measure_jax(size: int, iters: int, warmup: int = 2):
     x = jnp.asarray(np.random.default_rng(0)
                     .uniform(size=(1, size, size, 3)).astype(np.float32))
     for _ in range(warmup):
-        fn(x).block_until_ready()
+        wait(fn(x))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(x)
-    out.block_until_ready()
+    wait(out)
     dt = (time.perf_counter() - t0) / iters
 
     report = model_report(model, variables, x, train=False,

@@ -24,15 +24,16 @@ import numpy as np
 from dehaze_tpu.config import Config, LossConfig, ModelConfig, replace
 from dehaze_tpu.infer.tiled import make_native_image_fn, make_whole_image_fn
 from dehaze_tpu.models.uformer import Uformer
+from dehaze_tpu.utils.transfer import wait
 
 
 def timeit(fn, *args, warmup=2, iters=5):
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        wait(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    wait(out)  # block_until_ready is a NO-OP on the axon relay (jax 0.9)
     return (time.perf_counter() - t0) / iters
 
 
@@ -123,12 +124,12 @@ def main():
                 fstate = ftrainer.init_state(jax.random.PRNGKey(1), clean[:1])
                 for _ in range(2):
                     fstate, _ = ftrainer.train_step(fstate, clean, hazy)
-                jax.block_until_ready(fstate.params)
+                wait(fstate.params)
                 t0 = time.perf_counter()
                 iters = 5
                 for _ in range(iters):
                     fstate, _ = ftrainer.train_step(fstate, clean, hazy)
-                jax.block_until_ready(fstate.params)
+                wait(fstate.params)
                 dt = (time.perf_counter() - t0) / iters
                 results.append({"mode": f"ffa_train_step_b{b}",
                                 "sec": round(dt, 4),
@@ -154,12 +155,12 @@ def main():
 
                 for _ in range(2):
                     state = step(state)
-                jax.block_until_ready(state.params)
+                wait(state.params)
                 t0 = time.perf_counter()
                 iters = 5
                 for _ in range(iters):
                     state = step(state)
-                jax.block_until_ready(state.params)
+                wait(state.params)
                 dt = (time.perf_counter() - t0) / iters
                 results.append({"mode": f"train_step_b{b}",
                                 "sec": round(dt, 4),

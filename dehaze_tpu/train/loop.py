@@ -23,6 +23,7 @@ from dehaze_tpu.train.checkpoint import AsyncCheckpointer
 from dehaze_tpu.train.schedule import make_epoch_lr, resume_cosine_lr
 from dehaze_tpu.train.trainer import Trainer
 from dehaze_tpu.utils.logging import RunLogger
+from dehaze_tpu.utils.transfer import wait
 
 
 def _val_batches(folder: PairedFolder, ps: int, batch_size: int, seed: int = 0,
@@ -242,7 +243,9 @@ def fit(cfg: Config, log_dir: Optional[str] = None) -> Tuple[float, str]:
             )
             step_losses.append(metrics["loss"])
             if steady_t0 is None:
-                jax.block_until_ready(metrics["loss"])
+                # wait(): a REAL sync — block_until_ready is a no-op on the
+                # axon relay (utils.transfer.wait docstring)
+                wait(metrics["loss"])
                 steady_t0 = time.time()
             else:
                 steady_images += int(clean.shape[0])

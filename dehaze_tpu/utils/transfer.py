@@ -57,6 +57,33 @@ def device_get_packed(tree: Any) -> Any:
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
+@jax.jit
+def _first_scalar(leaf):
+    return leaf.ravel()[0]
+
+
+def wait(x: Any) -> Any:
+    """Force REAL device completion of `x` (a jax array or pytree).
+
+    `block_until_ready()` is a NO-OP through this environment's axon TPU
+    relay under jax 0.9 — measured 0.1 ms for a 4096² matmul whose result
+    takes 40+ ms to actually materialize — so every wall-clock that relies
+    on it times DISPATCH, not work. Fetching one scalar element of one
+    output leaf cannot complete before the producing computation has, on
+    any backend with per-buffer ordering (all PJRT backends). One tiny
+    dispatch + one RTT of overhead (~40 ms on the relay, ~0 locally) —
+    timing loops must amortize it over work that is much larger.
+
+    Also calls `block_until_ready` first, which is correct-and-sufficient
+    on honest backends (cpu, direct tpu) and free on the relay."""
+    jax.block_until_ready(x)
+    for leaf in jax.tree_util.tree_leaves(x):
+        if isinstance(leaf, jax.Array) and leaf.size > 0:
+            np.asarray(_first_scalar(leaf))
+            break
+    return x
+
+
 def u8_norm(x):
     """Device-side /255 for uint8 arrays (no-op for float inputs).
 

@@ -12,7 +12,7 @@ TPU-native: the payload is the shared msgpack tree format from
 the model name stored alongside like the reference's ``save_obj["name"]``;
 optimizer state rides in ``opt_state`` when given. `load` can also ingest a
 reference torch ``.pth.tar`` (``{"name", "state_dict"}``) directly through
-the generic zoo converter. Timing uses ``block_until_ready`` (there is no
+the generic zoo converter. Timing uses ``utils.transfer.wait`` (there is no
 ``torch.cuda.synchronize``) and measures the jitted steady state — the
 compile is excluded by a warmup call, matching what the reference's
 wall-clock loop converges to after the first iterations.
@@ -30,6 +30,7 @@ import numpy as np
 
 from dehaze_tpu.ops.meters import AverageMeter
 from dehaze_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+from dehaze_tpu.utils.transfer import wait
 
 
 def _final_path(root: str, dataset_name: str, model_name: str,
@@ -150,11 +151,11 @@ def measure_executive_time(model, variables,
     key = jax.random.PRNGKey(seed)
     meter = AverageMeter("time")
     x = jax.random.normal(key, size)
-    fwd(x).block_until_ready()
+    wait(fwd(x))
     for i in range(n):
         x = jax.random.normal(jax.random.fold_in(key, i), size)
-        x.block_until_ready()
+        wait(x)
         t = time.time()
-        fwd(x).block_until_ready()
+        wait(fwd(x))
         meter.update(time.time() - t)
     return meter.avg

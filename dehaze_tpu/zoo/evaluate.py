@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dehaze_tpu.ops.meters import AverageMeter
+from dehaze_tpu.utils.transfer import wait
 
 
 # --------------------------------------------------------------------------
@@ -296,7 +297,8 @@ def test_prediction_time(model, variables, input_size=(1, 32, 32, 3),
                          rng=None) -> AverageMeter:
     """≙ `tests.test_prediction_time` (`tests.py:206-223`): wall-clock per
     mean-of-softmax prediction at `input_size` (NHWC here). Device-synced via
-    block_until_ready; one warmup excludes compile. Prints and returns the
+    utils.transfer.wait (a REAL sync — block_until_ready is a no-op on the
+    axon relay); one warmup excludes compile. Prints and returns the
     meter (avg/std in seconds like the reference's)."""
     import time
 
@@ -304,13 +306,13 @@ def test_prediction_time(model, variables, input_size=(1, 32, 32, 3),
     predict = make_predict_fn(model, variables, n_ff)
     meter = AverageMeter("predict_times", "%.3f")
     x0 = jax.random.uniform(rng, input_size)
-    predict(x0, rng).block_until_ready()
+    wait(predict(x0, rng))
     for i in range(n):
         k = jax.random.fold_in(rng, i)
         xs = jax.random.uniform(k, input_size)
-        xs.block_until_ready()
+        wait(xs)
         t = time.time()
-        predict(xs, k).block_until_ready()
+        wait(predict(xs, k))
         meter.update(time.time() - t)
     print("Time: %.3f±%.3f ms" % (meter.avg * 1e3, meter.std * 1e3))
     return meter
