@@ -55,6 +55,25 @@ def shard_batch(mesh: Mesh, batch, axis: str = "data"):
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
+def replicate_to_mesh(mesh: Mesh, tree):
+    """Replicate identical host values onto every device of the mesh —
+    WITHOUT collectives, even multi-process.
+
+    jax 0.9's `device_put(host_value, multi_process_sharding)` eagerly runs
+    `multihost_utils.assert_equal` — a per-leaf Gloo all-gather whose fresh
+    context has a hard 30 s key-exchange window; on a loaded 1-core host the
+    workers reach the call staggered past it and the pair dies (r5 MULTICHIP
+    root-cause, jax dispatch.py `_device_put_sharding_impl`). The
+    `make_array_from_process_local_data` path builds the same replicated
+    global array purely from local buffers; callers guarantee the host
+    values are identical across processes (same seed/rng everywhere).
+    """
+    sh = replicated(mesh)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+        tree)
+
+
 def global_batch_from_local(mesh: Mesh, local_batch, axis: str = "data"):
     """Assemble a globally-sharded batch from each process's LOCAL rows.
 
