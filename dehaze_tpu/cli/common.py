@@ -87,6 +87,11 @@ def add_common_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
                         "uint8 and /255 on device (bit-identical values, "
                         "4x fewer transfer bytes); --no-u8_transfer "
                         "restores float32 shipping")
+    p.add_argument("--device_data", action="store_true",
+                   help="upload the whole patch dataset to HBM once and "
+                        "crop/augment inside the jitted step (zero per-step "
+                        "image transfers; bit-identical batches); needs "
+                        "uniform image sizes and a dataset that fits HBM")
     p.add_argument("--exit_after", type=int, default=0,
                    help="exit cleanly after N epochs in this process "
                         "(0 = run to --nepoch); bounds host RSS on leaky "
@@ -112,7 +117,7 @@ def config_from_args(a: argparse.Namespace) -> Config:
         data=DataConfig(
             train_dir=a.train_dir, val_dir=a.val_dir, train_ps=a.train_ps,
             batch_size=a.batch_size, num_workers=a.train_workers,
-            u8_transfer=a.u8_transfer,
+            u8_transfer=a.u8_transfer, device_data=a.device_data,
         ),
         train=TrainConfig(
             nepoch=a.nepoch, optimizer=a.optimizer, lr_initial=a.lr_initial,

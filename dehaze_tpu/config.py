@@ -129,6 +129,12 @@ class DataConfig:
     # (≤1 ulp vs float32 shipping; 4× fewer transfer bytes — and on the
     # relay transport here, 4× less leaked host RSS per epoch).
     u8_transfer: bool = True
+    # Upload the WHOLE patch dataset to HBM once and crop/augment inside the
+    # jitted step (pipeline.load_all_pairs + Trainer.train_step_data):
+    # zero per-step image transfers. Bit-identical batches to the streaming
+    # pipeline. Needs uniform image sizes and a dataset that fits HBM
+    # (campaign: 5,000×256² u8 ≈ 2 GB).
+    device_data: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

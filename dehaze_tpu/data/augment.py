@@ -34,6 +34,38 @@ def dihedral(img: np.ndarray, k: int) -> np.ndarray:
     return np.ascontiguousarray(out)
 
 
+def dihedral_dev(img: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    """Device-side `dihedral` for SQUARE HWC patches (traced k∈[0,8)).
+
+    Same semantics as the NumPy version above (rot90 in axes (1,0), then
+    flip H for k≥4); all 8 variants are static-shaped because the patch is
+    square, so `lax.switch` compiles them as a select. Used by the
+    device-resident dataset path (pipeline.epoch_schedule_arrays /
+    Trainer.train_step_data) where crop+augment runs inside the train step.
+    """
+    branches = [
+        (lambda x, r=r, f=f: (jnp.flip(jnp.rot90(x, r, axes=(1, 0)), axis=0)
+                              if f else jnp.rot90(x, r, axes=(1, 0))))
+        for f in (False, True) for r in range(4)
+    ]
+    return jax.lax.switch(k, branches, img)
+
+
+def crop_augment_plan(seed: int, h: int, w: int, ps: int):
+    """(row, col, k) the host pipeline would draw for item seed `seed`.
+
+    Mirrors `pipeline._load_train_item`'s rng call order exactly
+    (random_crop_pair's two integer draws, then the dihedral draw), so the
+    device-resident gather path reproduces the host decode path bit-for-bit
+    — tests/test_device_data.py asserts equality.
+    """
+    rng = np.random.default_rng(seed)
+    r = 0 if h == ps else int(rng.integers(0, h - ps))
+    c = 0 if w == ps else int(rng.integers(0, w - ps))
+    k = int(rng.integers(0, 8))
+    return r, c, k
+
+
 def random_crop_pair(
     rng: np.random.Generator, clean: np.ndarray, noisy: np.ndarray, ps: int
 ):

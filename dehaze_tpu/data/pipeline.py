@@ -166,6 +166,56 @@ def train_batches(
                 buf_c, buf_n = [], []
 
 
+def load_all_pairs(
+    folder: PairedFolder, *, u8: bool = True, num_workers: int = 8
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Decode EVERY gt/hazy pair into two stacked [N, H, W, 3] arrays.
+
+    Device-resident dataset mode: pre-cropped patch datasets (the campaign's
+    5,000 × 256² files ≈ 2 GB uint8) fit in HBM whole, so the training loop
+    uploads them ONCE and performs crop/augment/normalize inside the jitted
+    step (`Trainer.train_step_data`) — zero per-step host→device image
+    transfers. Requires uniform image sizes (patch folders are).
+    """
+    from dehaze_tpu.data.augment import crop_augment_plan  # noqa: F401
+
+    def _dec(path):
+        return load_img(path, u8=u8)
+
+    with cf.ThreadPoolExecutor(max_workers=num_workers) as ex:
+        cleans = list(ex.map(_dec, folder.clean_files))
+        noisys = list(ex.map(_dec, folder.noisy_files))
+    shapes = {a.shape for a in cleans} | {a.shape for a in noisys}
+    if len(shapes) != 1:
+        raise ValueError(
+            f"device-resident dataset needs uniform image sizes, got {shapes}"
+            f" under {folder.root} — use the streaming pipeline instead")
+    return np.stack(cleans), np.stack(noisys)
+
+
+def epoch_schedule_arrays(
+    n: int, hw: Tuple[int, int], batch_size: int, patch_size: int,
+    seed: int, epoch: int,
+) -> np.ndarray:
+    """[n_batches, B, 4] int32 of (item, row, col, dihedral_k) for one epoch.
+
+    Same plan as `train_batches` (`_epoch_schedule` + the per-item rng draws
+    of `_load_train_item`, via `augment.crop_augment_plan`), expressed as
+    indices instead of decoded pixels — the device-resident path's gather
+    coordinates. Bit-identical batches to the host pipeline by construction.
+    """
+    from dehaze_tpu.data.augment import crop_augment_plan
+
+    h, w = hw
+    plan = _epoch_schedule(n, batch_size, seed, epoch, drop_last=False)
+    out = np.empty((len(plan), batch_size, 4), np.int32)
+    for bi, batch in enumerate(plan):
+        for ri, (i, s) in enumerate(batch):
+            r, c, k = crop_augment_plan(s, h, w, patch_size)
+            out[bi, ri] = (i, r, c, k)
+    return out
+
+
 def val_images(folder: PairedFolder) -> Iterator[Tuple[np.ndarray, np.ndarray, str]]:
     """Whole (clean, noisy, filename) images, unshuffled (DataLoaderVal)."""
     for c, x in zip(folder.clean_files, folder.noisy_files):

@@ -167,6 +167,28 @@ def fit(cfg: Config, log_dir: Optional[str] = None) -> Tuple[float, str]:
 
     val, n_val = _val_batches(val_folder, d.train_ps, d.batch_size,
                               u8=d.u8_transfer)
+    # Val batches are reused 4×/epoch for the whole run — park them in HBM
+    # once instead of re-transferring ~30 MB per epoch (the relay transport
+    # retains per-transfer buffers; every avoided device_put counts).
+    val = [(jax.device_put(c), jax.device_put(n)) for c, n in val]
+
+    # Device-resident dataset mode: the whole patch set uploads ONCE and the
+    # per-step crop/augment/normalize runs inside the jitted train step
+    # (pipeline.load_all_pairs + Trainer.train_step_data) — zero per-step
+    # image transfers, no per-step fresh device buffers beyond the donated
+    # state. Bit-identical batches to the streaming pipeline.
+    data_c = data_n = data_hw = None
+    if d.device_data:
+        from dehaze_tpu.data.pipeline import (epoch_schedule_arrays,
+                                              load_all_pairs)
+
+        hc, hn = load_all_pairs(train_folder, u8=d.u8_transfer,
+                                num_workers=d.num_workers)
+        data_hw = hc.shape[1:3]
+        data_c, data_n = jax.device_put(hc), jax.device_put(hn)
+        del hc, hn
+        logger.text(f"==> device-resident dataset: {data_c.shape} ×2 "
+                    f"{data_c.dtype} in HBM")
     # pre-train sanity line (`My_train.py:165-194`): the reference compares
     # the hazy INPUT against GT directly — no model involved (an evaluate()
     # here would print the init/resumed model's PSNR under this label)
@@ -206,115 +228,160 @@ def fit(cfg: Config, log_dir: Optional[str] = None) -> Tuple[float, str]:
     else:
         ckpt_writer = AsyncCheckpointer()
 
-    for epoch in range(start_epoch, t.nepoch + 1):
-        t0 = time.time()
-        best_pending = None  # device-side snapshot of this epoch's best eval
-        # Loss accumulates ON DEVICE (a list of async scalar futures); the
-        # only host syncs between eval points are none — float() per step
-        # would stall the double-buffered prefetch (`My_train.py:253-255`
-        # prints wall-clock per epoch; we do the same but without the
-        # per-step round-trip).
-        step_losses = []
-        eval_seconds = 0.0
-        steady_t0 = None  # set after step 0 (excludes compile time)
-        steady_images = 0
-        use_mixup = epoch > d.mixup_after_epoch
-        it = train_batches(
-            train_folder, batch_size=d.batch_size, patch_size=d.train_ps,
-            seed=t.seed, epoch=epoch, num_workers=d.num_workers,
-            u8=d.u8_transfer,
-        )
-        # Transfers happen on the MAIN thread (no prefetch_to_device here):
-        # the relay client is not reentrant — a producer-thread device_put
-        # racing the main thread's step dispatch deadlocked round 4's
-        # campaign once (AsyncCheckpointer docstring) and, at the 3× step
-        # rate the uint8 path unlocked, corrupted the device arena into
-        # RESOURCE_EXHAUSTED after ~1 epoch (supervisor log, session 3).
-        # Decode still overlaps via the pipeline's own thread pool; the
-        # unhidden u8 batch transfer is ~3 MB ≈ milliseconds per step.
-        for i, (clean, hazy) in enumerate(it):
-            if mesh is not None:
-                clean = jax.device_put(clean, bsh)
-                hazy = jax.device_put(hazy, bsh)
-            rng, step_rng = jax.random.split(rng)
-            state, metrics = trainer.train_step(
-                state, clean, hazy, step_rng, use_mixup=use_mixup,
-                accum_steps=t.accum_steps,
-            )
-            step_losses.append(metrics["loss"])
-            if steady_t0 is None:
-                # wait(): a REAL sync — block_until_ready is a no-op on the
-                # axon relay (utils.transfer.wait docstring)
-                wait(metrics["loss"])
-                steady_t0 = time.time()
+    if d.device_data and mesh is not None:
+        raise NotImplementedError(
+            "--device_data with --data_axis is not wired (the dataset "
+            "upload would need per-device sharding of the gather) — use "
+            "the streaming pipeline for data-parallel runs")
+
+    best_pending = None  # device-side snapshot of the current best eval
+    epoch = start_epoch
+    try:
+        for epoch in range(start_epoch, t.nepoch + 1):
+            t0 = time.time()
+            # Loss accumulates ON DEVICE (a list of async scalar futures);
+            # a float() per step would stall the async dispatch queue
+            # (`My_train.py:253-255` prints wall-clock per epoch; we do the
+            # same but without the per-step round-trip).
+            step_losses = []
+            eval_seconds = 0.0
+            steady_t0 = None  # set after step 0 (excludes compile time)
+            steady_images = 0
+            use_mixup = epoch > d.mixup_after_epoch
+            if d.device_data:
+                from dehaze_tpu.data.pipeline import epoch_schedule_arrays
+
+                it = iter(epoch_schedule_arrays(
+                    len(train_folder), data_hw, d.batch_size, d.train_ps,
+                    t.seed, epoch))
             else:
-                steady_images += int(clean.shape[0])
-
-            if (i + 1) % eval_every == 0:
-                te = time.time()
-                psnr, ssim = trainer.evaluate(state.params, iter(val),
-                                              n_valid=n_val)
-                if psnr > best_psnr:
-                    best_psnr, best_epoch, best_iter = psnr, epoch, i
-                    # Defer the WRITE to epoch end: early epochs improve at
-                    # every eval, and each write is a full state fetch
-                    # (~250 MB) through the relay — 4×/epoch of transfer
-                    # for files immediately overwritten. The device-side
-                    # copy (jnp.copy, ~HBM speed) pins THIS eval point's
-                    # params against later steps' buffer donation, so the
-                    # file still contains the best model, not epoch-end.
-                    best_pending = (
-                        jax.tree.map(jnp.copy, state.params),
-                        jax.tree.map(jnp.copy, state.opt_state),
-                        {"psnr": psnr, "ssim": ssim},
-                    )
-                logger.text(
-                    f"[Ep {epoch} it {i}] PSNR {psnr:.4f} | SSIM {ssim:.4f}"
-                    f" ---- [best Ep {best_epoch} it {best_iter}"
-                    f" PSNR {best_psnr:.4f}]"
+                # Transfers happen on the MAIN thread (no prefetch_to_device
+                # here): the relay client is not reentrant — a producer-
+                # thread device_put racing the main thread's step dispatch
+                # deadlocked round 4's campaign once (AsyncCheckpointer
+                # docstring). Decode still overlaps via the pipeline's own
+                # thread pool.
+                it = train_batches(
+                    train_folder, batch_size=d.batch_size,
+                    patch_size=d.train_ps, seed=t.seed, epoch=epoch,
+                    num_workers=d.num_workers, u8=d.u8_transfer,
                 )
-                logger.event("eval", epoch=epoch, iter=i, psnr=psnr, ssim=ssim)
-                eval_seconds += time.time() - te
+            for i, item in enumerate(it):
+                rng, step_rng = jax.random.split(rng)
+                if d.device_data:
+                    state, metrics = trainer.train_step_data(
+                        state, data_c, data_n, item, step_rng,
+                        use_mixup=use_mixup)
+                    n_rows = int(item.shape[0])
+                else:
+                    clean, hazy = item
+                    if mesh is not None:
+                        clean = jax.device_put(clean, bsh)
+                        hazy = jax.device_put(hazy, bsh)
+                    state, metrics = trainer.train_step(
+                        state, clean, hazy, step_rng, use_mixup=use_mixup,
+                        accum_steps=t.accum_steps,
+                    )
+                    n_rows = int(clean.shape[0])
+                step_losses.append(metrics["loss"])
+                if steady_t0 is None:
+                    # wait(): a REAL sync — block_until_ready is a no-op on
+                    # the axon relay (utils.transfer.wait docstring)
+                    wait(metrics["loss"])
+                    steady_t0 = time.time()
+                else:
+                    steady_images += n_rows
 
-        # One sync at epoch end drains the async step queue. Stack the
-        # per-step device scalars into ONE array first: device_get on a
-        # list issues one transfer per element — 64 round-trips per epoch,
-        # minutes when interconnect latency spikes (round-3 measurement).
-        epoch_loss = (float(jax.device_get(jnp.stack(step_losses)).sum())
-                      if step_losses else 0.0)
-        steady_s = max(time.time() - (steady_t0 or t0) - eval_seconds, 1e-9)
-        img_per_s = steady_images / steady_s if steady_images else 0.0
-        logger.text(
-            f"Epoch {epoch}  time {time.time() - t0:.1f}s  loss {epoch_loss:.4f}"
-            f"  steady {img_per_s:.1f} img/s"
-        )
-        if best_pending is not None:
-            bp, bo, bx = best_pending
-            ckpt_writer.save(os.path.join(model_dir, "model_best.msgpack"),
-                             epoch, bp, bo, extra=bx)
-            best_pending = None
-        if os.environ.get("DEHAZE_TPU_MALLOC_TRIM"):
-            _malloc_trim()
-        logger.event("epoch", epoch=epoch, loss=epoch_loss,
-                     seconds=time.time() - t0, img_per_s=img_per_s,
-                     rss_gb=round(_rss_gb(), 3))
-        # async: device-side snapshot now, fetch+write in the background —
-        # the relay/PCIe checkpoint stall leaves the epoch critical path
-        # (measured 100+ s/epoch during the round-3 endurance run).
-        ckpt_writer.save(
-            os.path.join(model_dir, f"epoch_model_{epoch}.msgpack"),
-            epoch, state.params, state.opt_state,
-        )
-        if t.keep_ckpts > 0:
-            _prune_epoch_ckpts(model_dir, t.keep_ckpts, epoch)
-        if t.exit_after and (epoch - start_epoch + 1) >= t.exit_after \
-                and epoch < t.nepoch:
+                if (i + 1) % eval_every == 0:
+                    te = time.time()
+                    psnr, ssim = trainer.evaluate(state.params, iter(val),
+                                                  n_valid=n_val)
+                    if psnr > best_psnr:
+                        best_psnr, best_epoch, best_iter = psnr, epoch, i
+                        # Defer the WRITE to epoch end: early epochs improve
+                        # at every eval, and each write is a full params
+                        # fetch through the relay. The device-side copy
+                        # (jnp.copy, ~HBM speed) pins THIS eval point's
+                        # params against later steps' buffer donation.
+                        # Params ONLY — model_best exists for eval/inference,
+                        # and the opt_state copy doubled the pinned HBM for
+                        # a field nothing reads (ADVICE r4 #2; per-epoch
+                        # checkpoints carry opt_state for resume).
+                        best_pending = (
+                            epoch,
+                            jax.tree.map(jnp.copy, state.params),
+                            {"psnr": psnr, "ssim": ssim},
+                        )
+                    logger.text(
+                        f"[Ep {epoch} it {i}] PSNR {psnr:.4f} | SSIM {ssim:.4f}"
+                        f" ---- [best Ep {best_epoch} it {best_iter}"
+                        f" PSNR {best_psnr:.4f}]"
+                    )
+                    logger.event("eval", epoch=epoch, iter=i, psnr=psnr,
+                                 ssim=ssim)
+                    eval_seconds += time.time() - te
+
+            # One sync at epoch end drains the async step queue. Stack the
+            # per-step device scalars into ONE array first: device_get on a
+            # list issues one transfer per element — 64 round-trips per
+            # epoch, minutes when interconnect latency spikes (round-3
+            # measurement).
+            epoch_loss = (float(jax.device_get(jnp.stack(step_losses)).sum())
+                          if step_losses else 0.0)
+            steady_s = max(time.time() - (steady_t0 or t0) - eval_seconds, 1e-9)
+            img_per_s = steady_images / steady_s if steady_images else 0.0
             logger.text(
-                f"==> --exit_after {t.exit_after}: stopping at epoch "
-                f"{epoch}/{t.nepoch}; resume with --resume "
-                f"--pretrain_weights "
-                f"{os.path.join(model_dir, f'epoch_model_{epoch}.msgpack')}")
-            break
-
-    ckpt_writer.close()
+                f"Epoch {epoch}  time {time.time() - t0:.1f}s  loss "
+                f"{epoch_loss:.4f}  steady {img_per_s:.1f} img/s"
+            )
+            if best_pending is not None:
+                be, bp, bx = best_pending
+                ckpt_writer.save(os.path.join(model_dir, "model_best.msgpack"),
+                                 be, bp, extra=bx)
+                best_pending = None
+            if os.environ.get("DEHAZE_TPU_MALLOC_TRIM"):
+                _malloc_trim()
+            logger.event("epoch", epoch=epoch, loss=epoch_loss,
+                         seconds=time.time() - t0, img_per_s=img_per_s,
+                         rss_gb=round(_rss_gb(), 3))
+            # async: device-side snapshot now, fetch+write in the background —
+            # the relay/PCIe checkpoint stall leaves the epoch critical path
+            # (measured 100+ s/epoch during the round-3 endurance run).
+            ckpt_writer.save(
+                os.path.join(model_dir, f"epoch_model_{epoch}.msgpack"),
+                epoch, state.params, state.opt_state,
+            )
+            if t.keep_ckpts > 0:
+                _prune_epoch_ckpts(model_dir, t.keep_ckpts, epoch)
+            if t.exit_after and (epoch - start_epoch + 1) >= t.exit_after \
+                    and epoch < t.nepoch:
+                logger.text(
+                    f"==> --exit_after {t.exit_after}: stopping at epoch "
+                    f"{epoch}/{t.nepoch}; resume with --resume "
+                    f"--pretrain_weights "
+                    f"{os.path.join(model_dir, f'epoch_model_{epoch}.msgpack')}")
+                break
+    except Exception as e:
+        # The relay transport's device arena can exhaust mid-epoch after
+        # enough retained buffers (r5 campaign: RESOURCE_EXHAUSTED every
+        # 1-2 epochs before the device-resident path). A clean exit here
+        # lets the supervisor resume from the last epoch checkpoint without
+        # a scary rc!=0; anything else re-raises.
+        if "RESOURCE_EXHAUSTED" not in str(e):
+            raise
+        logger.text(f"==> device RESOURCE_EXHAUSTED at epoch {epoch} — "
+                    "exiting cleanly for supervisor resume")
+    finally:
+        # A mid-epoch crash/kill is the very failure mode the supervisor
+        # exists for — flush the epoch's best-eval snapshot so it is never
+        # silently lost (ADVICE r4 #2).
+        if best_pending is not None:
+            be, bp, bx = best_pending
+            try:
+                ckpt_writer.save(
+                    os.path.join(model_dir, "model_best.msgpack"),
+                    be, bp, extra=bx)
+            except Exception:
+                pass
+        ckpt_writer.close()
     return best_psnr, os.path.join(model_dir, "model_best.msgpack")

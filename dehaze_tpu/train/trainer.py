@@ -88,7 +88,16 @@ class Trainer:
             self._train_step_impl,
             static_argnames=("use_mixup", "accum_steps"), donate_argnums=(0,)
         )
+        self._train_step_data = jax.jit(
+            self._train_step_data_impl,
+            static_argnames=("use_mixup",), donate_argnums=(0,)
+        )
         self._eval_step = jax.jit(self._eval_step_impl)
+        # metrics-only twin: evaluate() discards the restored images, and on
+        # the relay transport every per-call OUTPUT buffer is a fresh device
+        # allocation — 6 MB × 20 eval steps/epoch of churn for nothing.
+        self._eval_metrics_step = jax.jit(
+            lambda p, c, h, r: self._eval_step_impl(p, c, h, r)[:2])
 
     # ---------------------------------------------------------------- init
     def init_state(self, rng: jax.Array, sample_batch: np.ndarray) -> TrainState:
@@ -200,6 +209,48 @@ class Trainer:
             metrics,
         )
 
+    # ------------------------------------------- device-resident data step
+    def _train_step_data_impl(
+        self,
+        state: TrainState,
+        data_c: jnp.ndarray,   # [N, H, W, 3] uint8/f32, resident in HBM
+        data_n: jnp.ndarray,
+        sched: jnp.ndarray,    # [B, 4] int32 (item, row, col, dihedral_k)
+        rng: jax.Array,
+        *,
+        use_mixup: bool,
+    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        """Train step with crop+augment fused INSIDE the jit.
+
+        The whole patch dataset lives in HBM (pipeline.load_all_pairs); each
+        step gathers its batch by index, random-crops via dynamic_slice and
+        applies the dihedral on device (augment.dihedral_dev). The batch
+        pixels never cross the host↔device link, and the gathered batch is
+        an XLA-internal value — no fresh per-step device buffers beyond the
+        donated state. Bit-identical to the host pipeline + train_step
+        (tests/test_device_data.py).
+        """
+        ps = self.cfg.data.train_ps
+
+        def cut(data, row):
+            item, r, c, k = row[0], row[1], row[2], row[3]
+            patch = jax.lax.dynamic_slice(
+                data, (item, r, c, 0), (1, ps, ps, data.shape[-1]))[0]
+            from dehaze_tpu.data.augment import dihedral_dev
+
+            return dihedral_dev(patch, k)
+
+        clean = jax.vmap(lambda row: cut(data_c, row))(sched)
+        hazy = jax.vmap(lambda row: cut(data_n, row))(sched)
+        return self._train_step_impl(state, clean, hazy, rng,
+                                     use_mixup=use_mixup, accum_steps=1)
+
+    def train_step_data(self, state, data_c, data_n, sched, rng,
+                        use_mixup: bool):
+        return self._train_step_data(state, data_c, data_n,
+                                     jnp.asarray(sched), rng,
+                                     use_mixup=use_mixup)
+
     def train_step(self, state, clean, hazy, rng, use_mixup: bool,
                    accum_steps: int = 1):
         if (accum_steps > 1 and self.cfg.loss.w_contrast > 0
@@ -242,7 +293,8 @@ class Trainer:
         rng = jax.random.PRNGKey(0) if rng is None else rng
         psnrs, ssims = [], []
         for clean, hazy in batches:
-            p, s, _ = self._eval_step(params, jnp.asarray(clean), jnp.asarray(hazy), rng)
+            p, s = self._eval_metrics_step(params, jnp.asarray(clean),
+                                           jnp.asarray(hazy), rng)
             psnrs.append(p)
             ssims.append(s)
         p_all = np.concatenate(jax.device_get(psnrs))[:n_valid]
