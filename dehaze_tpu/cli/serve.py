@@ -63,20 +63,41 @@ class MicroBatcher:
         self.max_batch = max(1, max_batch)
         self.q = queue.SimpleQueue()
         self.hist = collections.Counter()  # batch size -> forward count
+        self._closed = False
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
 
     def submit(self, img: np.ndarray) -> np.ndarray:
+        # Never park a handler thread forever (ADVICE r4 #1): reject after
+        # close(), and poll the worker's liveness while waiting so a dead
+        # worker fails pending requests instead of hanging them.
+        if self._closed:
+            raise RuntimeError("server is shutting down")
         item = {"img": img, "ev": threading.Event(), "out": None, "err": None}
         self.q.put(item)
-        item["ev"].wait()
+        while not item["ev"].wait(timeout=1.0):
+            if not self._worker.is_alive() and not item["ev"].is_set():
+                raise RuntimeError("device worker died; request not served")
         if item["err"] is not None:
             raise item["err"]
         return item["out"]
 
     def close(self):
+        self._closed = True
         self.q.put(self._STOP)
         self._worker.join(timeout=5)
+        # Fail anything still queued (enqueued before/while closing) so the
+        # submitting handler threads unblock with an error, not a hang.
+        while True:
+            try:
+                it = self.q.get_nowait()
+            except queue.Empty:
+                break
+            if it is self._STOP:
+                continue
+            it["err"] = RuntimeError("server shut down before serving "
+                                     "request")
+            it["ev"].set()
 
     def _drain_group(self, head):
         """head + up to max_batch-1 already-queued same-geometry requests."""
@@ -195,7 +216,13 @@ def make_handler(dehaze, info):
 
         def do_GET(self):
             if self.path == "/healthz":
-                body = json.dumps({"status": "ok", **info}).encode()
+                # snapshot first: info["batch_hist"] is a live Counter the
+                # device worker mutates — serializing it directly can raise
+                # "dict changed size during iteration" under load
+                payload = {"status": "ok", **info}
+                if "batch_hist" in payload:
+                    payload["batch_hist"] = dict(payload["batch_hist"].copy())
+                body = json.dumps(payload).encode()
                 self._send(200, body, "application/json")
             else:
                 self._send(404, b"not found", "text/plain")

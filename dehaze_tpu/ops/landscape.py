@@ -352,7 +352,16 @@ def landscape_stats(rows: Iterable[Dict[str, float]]) -> Dict[str, float]:
     """
     rows = list(rows)
     xs, ys, grid = _rows_to_grid(rows)
-    c = grid[np.searchsorted(ys, 0.0), np.searchsorted(xs, 0.0)]
+    iy, ix = np.searchsorted(ys, 0.0), np.searchsorted(xs, 0.0)
+    # a grid without an exact (0,0) point would silently normalize by a
+    # neighboring cell and skew every rel-rise stat (ADVICE r4 #3) — fail
+    # loudly like radial_profile does
+    if iy >= len(ys) or ix >= len(xs) or ys[iy] != 0.0 or xs[ix] != 0.0:
+        raise ValueError(
+            "landscape_stats: sweep grid has no (0, 0) coordinate — the "
+            "center loss (the checkpoint itself) is undefined; use an odd "
+            "grid size n so linspace(-1, 1, n) contains 0")
+    c = grid[iy, ix]
     rel = grid / c - 1.0
     edge = np.concatenate([rel[0, :], rel[-1, :], rel[1:-1, 0], rel[1:-1, -1]])
     return {

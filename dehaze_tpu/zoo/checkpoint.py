@@ -139,10 +139,14 @@ def stats(model, variables, xs: Optional[jnp.ndarray] = None,
 
 def measure_executive_time(model, variables,
                            size: Tuple[int, ...] = (1, 32, 32, 3),
-                           n: int = 1000, seed: int = 0) -> float:
+                           n: int = 1000, seed: int = 0,
+                           chunk: int = 10) -> float:
     """≙ `models.measure_executive_time` (`models/__init__.py:409-423`):
     mean seconds per forward at `size` (NHWC here). Jitted + device-synced;
-    one warmup call excludes compile time."""
+    one warmup call excludes compile time. `chunk` forwards per wait() so
+    the relay's ~40 ms scalar-fetch round-trip amortizes out of the mean
+    (ADVICE r4 #5); in-order execution makes the last output's sync a sync
+    of the whole chunk."""
     # variables as a jit ARGUMENT (closures bake weights into the HLO as
     # constants — see evaluate.make_predict_fn)
     jfwd = jax.jit(lambda vs, x: model.apply(
@@ -152,10 +156,15 @@ def measure_executive_time(model, variables,
     meter = AverageMeter("time")
     x = jax.random.normal(key, size)
     wait(fwd(x))
-    for i in range(n):
-        x = jax.random.normal(jax.random.fold_in(key, i), size)
-        wait(x)
+    for base in range(0, n, chunk):
+        m = min(chunk, n - base)
+        xs = [jax.random.normal(jax.random.fold_in(key, base + j), size)
+              for j in range(m)]
+        wait(xs[-1])
         t = time.time()
-        wait(fwd(x))
-        meter.update(time.time() - t)
+        out = None
+        for x in xs:
+            out = fwd(x)
+        wait(out)
+        meter.update((time.time() - t) / m, n=m)
     return meter.avg

@@ -294,12 +294,19 @@ def save_calibration_figure(metrics, path: str):
 
 def test_prediction_time(model, variables, input_size=(1, 32, 32, 3),
                          n: int = 100, n_ff: int = 1,
-                         rng=None) -> AverageMeter:
+                         rng=None, chunk: int = 10) -> AverageMeter:
     """≙ `tests.test_prediction_time` (`tests.py:206-223`): wall-clock per
     mean-of-softmax prediction at `input_size` (NHWC here). Device-synced via
     utils.transfer.wait (a REAL sync — block_until_ready is a no-op on the
     axon relay); one warmup excludes compile. Prints and returns the
-    meter (avg/std in seconds like the reference's)."""
+    meter (avg/std in seconds like the reference's).
+
+    `chunk` forwards are dispatched per wait() and the elapsed time divided:
+    on the relay each wait() is a full scalar-fetch round-trip (~40 ms),
+    which would otherwise dominate small-model per-forward times (ADVICE r4
+    #5; the reference's cuda.synchronize has no such cost). Execution is
+    in-order, so syncing the last output syncs the whole chunk. The meter's
+    std therefore reflects across-chunk variation, not per-forward."""
     import time
 
     rng = jax.random.PRNGKey(0) if rng is None else rng
@@ -307,13 +314,19 @@ def test_prediction_time(model, variables, input_size=(1, 32, 32, 3),
     meter = AverageMeter("predict_times", "%.3f")
     x0 = jax.random.uniform(rng, input_size)
     wait(predict(x0, rng))
-    for i in range(n):
-        k = jax.random.fold_in(rng, i)
-        xs = jax.random.uniform(k, input_size)
-        wait(xs)
+    for base in range(0, n, chunk):
+        m = min(chunk, n - base)
+        keys = [jax.random.fold_in(rng, base + j) for j in range(m)]
+        xs = [jax.random.uniform(k, input_size) for k in keys]
+        wait(xs[-1])  # inputs staged before the clock starts
         t = time.time()
-        wait(predict(xs, k))
-        meter.update(time.time() - t)
+        out = None
+        for x, k in zip(xs, keys):
+            out = predict(x, k)
+        wait(out)
+        per = (time.time() - t) / m
+        for _ in range(m):
+            meter.update(per)
     print("Time: %.3f±%.3f ms" % (meter.avg * 1e3, meter.std * 1e3))
     return meter
 
