@@ -90,6 +90,42 @@ def roofline_fields(compiled, dt: float, batch: int) -> dict:
     return fields
 
 
+def contention_fields() -> dict:
+    """Snapshot host contention into the bench record (VERDICT r4 weak #3:
+    the r4 headline was captured while a landscape sweep + a --watch loop
+    shared the chip and host; the JSON carried no trace of it). Fields:
+    1-minute loadavg and the sibling python processes visible at measurement
+    time; `contended` flags a measurement worth distrusting."""
+    fields = {}
+    try:
+        fields["loadavg_1m"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        pass
+    sibs = []
+    me = os.getpid()
+    try:
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit() or int(pid) == me:
+                continue
+            try:
+                with open(f"/proc/{pid}/cmdline", "rb") as f:
+                    cmd = f.read().replace(b"\0", b" ").decode().strip()
+            except OSError:
+                continue
+            if "python" in cmd and "tpu_init" not in cmd:
+                sibs.append(cmd[:96])
+    except OSError:
+        pass
+    fields["sibling_python_procs"] = sibs
+    fields["contended"] = bool(sibs) or fields.get("loadavg_1m", 0.0) > 1.5
+    if fields["contended"]:
+        print("bench.py WARNING: measurement contended "
+              f"(loadavg={fields.get('loadavg_1m')}, "
+              f"{len(sibs)} sibling python procs) — throughput will read "
+              "low; re-run on a quiet host", file=sys.stderr)
+    return fields
+
+
 def main():
     use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
     # Recommended inference config: tanh-approx GELU. Validated on a trained
@@ -150,6 +186,7 @@ def main():
         "device": str(jax.devices()[0]),
     }
     record.update(roofline_fields(compiled, dt, BATCH))
+    record.update(contention_fields())
     print(json.dumps(record))
 
 
