@@ -370,19 +370,32 @@ def swin_window_attention(self_mod, x, prefix: str, *, heads: int,
                           dim_head: int, dropout: float, window: int,
                           shifted: bool, train: bool,
                           dtype: Dtype = jnp.float32):
-    """`WindowAttention` (`swin.py:36-72`) on NHWC maps."""
+    """`WindowAttention` (`swin.py:36-72`) on NHWC maps.
+
+    When the feature map is SMALLER than the window (deep stages at CIFAR
+    geometry: 32² → stage maps 8,4,2,1, where the reference's einops
+    rearrange would error — swin is dead code there, never registered in
+    `models/__init__.py`), the effective window collapses to the map size —
+    the same idiom the dehazing Uformer uses (`My_model.py:867-869`). The
+    rel-pos table keeps the static window's (2p−1)² shape (param/ckpt
+    compatibility) and the collapsed window indexes its central block;
+    parity with the torch oracle is unaffected at geometries the reference
+    can run."""
     b, h, w, c = x.shape
-    p = window
+    p = min(window, h, w)
     if h % p or w % p:
-        raise ValueError(f"feature map {h}x{w} not divisible by window {p}")
+        raise ValueError(
+            f"feature map {h}x{w} not divisible by window {p} — pick a "
+            f"window_size/image_size pair whose stage maps divide (stage "
+            f"maps at image_size s are s/4, s/8, s/16, s/32)")
     n1, n2 = h // p, w // p
     d = p // 2
 
     pos = self_mod.param(f"{prefix}_pos_embedding", zl.randn_init(0.02),
-                         (2 * p - 1, 2 * p - 1), jnp.float32)
-    idx = _rel_index(p)
+                         (2 * window - 1, 2 * window - 1), jnp.float32)
+    idx = _rel_index(p) + (window - p)  # central block of the (2p−1)² table
     mask = pos[idx[:, :, 0], idx[:, :, 1]].astype(dtype)  # [p², p²]
-    if shifted:
+    if shifted and d > 0:
         mask = mask + jnp.asarray(_swin_shift_masks(n1, n2, p, d),
                                   dtype=jnp.float32).astype(dtype)
         mask = jnp.tile(mask, (b, 1, 1, 1))  # [(b nW), 1, p², p²]
@@ -395,7 +408,7 @@ def swin_window_attention(self_mod, x, prefix: str, *, heads: int,
                        mask=mask, dtype=dtype)
     x = x.reshape(b, n1, n2, p, p, c).transpose(0, 1, 3, 2, 4, 5)
     x = x.reshape(b, h, w, c)
-    if shifted:
+    if shifted and d > 0:
         x = jnp.roll(x, (d, d), axis=(1, 2))
     return x
 

@@ -76,6 +76,30 @@ def test_swin_window_validation():
                train=False)
 
 
+def test_swin_window_collapse_small_stages():
+    """CIFAR geometry (32² → stage maps 8,4,2,1): the deep stages' windows
+    collapse to the map size instead of crashing — the r4 redrive failure
+    `feature map 1x1 not divisible by window 2` (VERDICT r4 weak #7). The
+    reference never runs swin (unregistered dead code), so there is no
+    behavior to mirror at this geometry; the collapse follows the Uformer
+    idiom (`My_model.py:867-869`)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dehaze_tpu.zoo.transformers import SwinZoo
+
+    m = SwinZoo(depths=(2, 2, 2, 2), dims=(8, 16, 32, 64),
+                heads=(1, 2, 4, 8), dims_mlp=(16, 32, 64, 128),
+                dim_head=8, window_size=2, pools=(4, 2, 2, 2))
+    x = jnp.asarray(np.random.default_rng(0).uniform(
+        size=(2, 32, 32, 3)).astype(np.float32))
+    vs = m.init(jax.random.PRNGKey(0), x, train=False)
+    out = m.apply(vs, x, train=False)
+    assert out.shape == (2, 10)
+    assert np.isfinite(np.asarray(out)).all()
+
+
 @pytest.mark.parametrize("case", [
     ("resnet tiny", dict(family="resnet")),
     ("mcdo tiny", dict(family="mcdo")),
