@@ -550,3 +550,81 @@ def test_unet_full_model_parity_vs_reference_torch():
     )
     assert yj.shape == yt.shape
     np.testing.assert_allclose(yj, yt, rtol=2e-4, atol=2e-4)
+
+
+def test_one_step_gradient_parity_vs_reference_torch(ref_model):
+    """Training-dynamics parity (VERDICT r4 next #6): same converted
+    weights, same batch, the reference's own loss stack — parameter
+    GRADIENTS must agree, not just forwards.
+
+    Reference stack: clamp to [0,1] (`My_train.py:230`) + CharbonnierLoss
+    eps 1e-3 (`losses.py:41-52`, `My_train.py:233-234`). Charbonnier-only:
+    the CR loss needs pretrained VGG19 weights (unobtainable offline) and
+    its random-VGG fallback can't be bit-aligned across frameworks; CR's
+    forward math is oracle-tested in test_losses.py. The torch gradient
+    state_dict is mapped through the SAME converter as the weights (the
+    torch→flax transforms are linear — transposes/reshapes/qkv concat — so
+    they apply to gradients identically), giving a leaf-for-leaf tree
+    comparison at ≤2e-4 relative."""
+    import jax
+    import jax.numpy as jnp
+
+    from dehaze_tpu.config import ModelConfig
+    from dehaze_tpu.models.uformer import Uformer
+    from dehaze_tpu.ops.losses import charbonnier_loss
+    from dehaze_tpu.utils.convert_torch import convert_uformer_state_dict
+
+    sys.path.insert(0, REF)
+    import losses as ref_losses
+
+    rng = np.random.default_rng(42)
+    clean = rng.uniform(size=(2, 32, 32, 3)).astype(np.float32)
+    hazy = np.clip(clean + rng.normal(0, 0.08, clean.shape), 0, 1).astype(
+        np.float32)
+
+    # ---- torch backward ---------------------------------------------------
+    ref_model.zero_grad(set_to_none=True)
+    xt = torch.from_numpy(hazy.transpose(0, 3, 1, 2))
+    ct = torch.from_numpy(clean.transpose(0, 3, 1, 2))
+    restored = torch.clamp(ref_model(xt), 0.0, 1.0)
+    loss_t = ref_losses.CharbonnierLoss()(restored, ct)
+    loss_t.backward()
+    grad_sd = {}
+    for k, v in ref_model.state_dict().items():
+        grad_sd[k] = v  # buffers/missing-grad params: placeholder values
+    for k, p in ref_model.named_parameters():
+        grad_sd[k] = (p.grad.detach().clone() if p.grad is not None
+                      else torch.zeros_like(p))
+    g_ref = convert_uformer_state_dict(grad_sd, attention="full")
+
+    # ---- jax grad on the converted weights --------------------------------
+    params = convert_uformer_state_dict(ref_model.state_dict(),
+                                        attention="full")
+    cfg = ModelConfig(img_size=32, embed_dim=8, attention="full",
+                      dtype=jnp.float32, drop_path_rate=0.0)
+    model = Uformer(cfg)
+
+    def loss_fn(p, hz, cl):
+        y = model.apply({"params": p}, hz)
+        y = jnp.clip(y, 0.0, 1.0)
+        return charbonnier_loss(y, cl, 1e-3)
+
+    import jax as _jax
+
+    loss_j, g_jax = _jax.jit(_jax.value_and_grad(loss_fn))(
+        params, jnp.asarray(hazy), jnp.asarray(clean))
+
+    assert float(loss_j) == pytest.approx(float(loss_t.item()), rel=1e-5)
+    ref_leaves = jax.tree.leaves_with_path(g_ref)
+    jax_leaves = dict(jax.tree.leaves_with_path(g_jax))
+    assert len(ref_leaves) == len(jax_leaves)
+    checked = 0
+    for path, vref in ref_leaves:
+        vj = np.asarray(jax_leaves[path])
+        vr = np.asarray(vref)
+        scale = max(np.abs(vr).max(), 1e-8)
+        np.testing.assert_allclose(
+            vj, vr, rtol=2e-4, atol=2e-4 * scale,
+            err_msg=f"gradient mismatch at {jax.tree_util.keystr(path)}")
+        checked += 1
+    assert checked > 100  # the full ~500-leaf tree was compared
