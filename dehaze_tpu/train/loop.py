@@ -158,7 +158,14 @@ def fit(cfg: Config, log_dir: Optional[str] = None) -> Tuple[float, str]:
         )
         del resume_payload
         state = state.replace(params=params,
-                              opt_state=opt_state or state.opt_state)
+                              opt_state=opt_state or state.opt_state,
+                              # absolute step: the in-graph lr lookup
+                              # (trainer lr table) indexes state.step //
+                              # steps_per_epoch, mirroring the optax count
+                              # the restored opt_state carries
+                              step=jnp.asarray(
+                                  (start_epoch - 1) * steps_per_epoch,
+                                  jnp.int32))
         logger.text(f"==> Resuming from epoch {start_epoch}")
 
     if mesh is not None:

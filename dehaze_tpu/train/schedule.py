@@ -62,6 +62,19 @@ def resume_cosine_lr(cfg: TrainConfig, start_epoch: int, resumed_lr: float):
     return lr
 
 
+def epoch_lr_table(epoch_lr: Callable[[int], float], max_epochs: int = 4096):
+    """Tabulate an epoch-lr fn as a [max_epochs] f32 numpy array.
+
+    Fed to the train step as a RUNTIME argument (Trainer.lr_table_device)
+    so the resume-cosine timeline — different every supervisor segment —
+    never becomes a traced constant that forces a per-segment recompile of
+    the step program."""
+    import numpy as np
+
+    return np.array([epoch_lr(e) for e in range(max_epochs)],
+                    dtype=np.float32)
+
+
 def lr_schedule_from_epoch_fn(epoch_lr: Callable[[int], float], steps_per_epoch: int):
     """Wrap an epoch-level fn as an optax step schedule (piecewise-constant
     per epoch, like the reference)."""

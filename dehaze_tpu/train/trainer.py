@@ -35,7 +35,7 @@ from dehaze_tpu.models import get_arch
 from dehaze_tpu.models import vgg as vgg_mod
 from dehaze_tpu.ops import losses as L
 from dehaze_tpu.ops import metrics as M
-from dehaze_tpu.train.schedule import lr_schedule_from_epoch_fn, make_epoch_lr
+from dehaze_tpu.train.schedule import epoch_lr_table, make_epoch_lr
 
 
 @struct.dataclass
@@ -53,9 +53,23 @@ from dehaze_tpu.utils.transfer import u8_norm  # noqa: E402
 
 def make_optimizer(cfg: Config, steps_per_epoch: int,
                    epoch_lr=None) -> optax.GradientTransformation:
-    epoch_lr = epoch_lr or make_epoch_lr(cfg.train)
-    sched = lr_schedule_from_epoch_fn(epoch_lr, steps_per_epoch)
+    """AdamW/Adam with a UNIT schedule: the real lr multiplies the updates
+    inside the train step, read from a runtime lr TABLE indexed by
+    `state.step` (piecewise-constant per epoch, like the reference).
+
+    Why not bake the schedule here: the resume-cosine timeline
+    (`My_train.py:108-117`) differs per supervisor segment, and a schedule
+    closure's lr table is traced into the jitted step as a CONSTANT — every
+    segment restart of the campaign recompiled the full 181 MB train-step
+    program (~140 s quiet, 10+ min loaded; one fresh cache entry per
+    segment). With the table as a runtime argument, every segment hits the
+    same executable. The callable unit schedule keeps the optimizer state
+    structure (ScaleByScheduleState(count)) byte-compatible with every
+    earlier checkpoint, and `x*(-lr)` ≡ `(x*-1)*lr` in IEEE semantics, so
+    updates are bit-identical to the baked-schedule step.
+    """
     t = cfg.train
+    sched = lambda count: 1.0  # real lr applied in _train_step_impl
     if t.optimizer.lower() == "adam":
         return optax.adam(sched, b1=t.beta1, b2=t.beta2, eps=t.eps)
     return optax.adamw(
@@ -72,6 +86,14 @@ class Trainer:
         self.mesh = mesh
         self.model = get_arch(cfg.model)
         self.tx = make_optimizer(cfg, steps_per_epoch, epoch_lr)
+        self._spe = steps_per_epoch
+        # Runtime lr table (see make_optimizer docstring): one f32 value per
+        # absolute 0-based epoch, indexed in-graph by state.step //
+        # steps_per_epoch — exactly the old schedule(count) timeline, since
+        # step and the optax count advance together and both are absolute
+        # after resume (loop.fit sets state.step from the checkpoint epoch).
+        self._lr_table = epoch_lr_table(epoch_lr or make_epoch_lr(cfg.train))
+        self._lr_table_dev = None  # device copy, created on first step
 
         self.use_cr = cfg.loss.w_contrast > 0
         self.vgg = None
@@ -124,6 +146,7 @@ class Trainer:
         clean: jnp.ndarray,
         hazy: jnp.ndarray,
         rng: jax.Array,
+        lr_table: jnp.ndarray,  # [E] f32, lr per absolute 0-based epoch
         *,
         use_mixup: bool,
         accum_steps: int = 1,
@@ -203,6 +226,13 @@ class Trainer:
             metrics = jax.tree.map(lambda m: jnp.mean(m, axis=0), ms)
 
         updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+        # The optimizer ran with a unit schedule (make_optimizer docstring);
+        # scale by the real lr here. state.step == number of updates already
+        # applied == the old optax count, so the epoch index is identical to
+        # the baked schedule(count), including across segment resumes.
+        lr = lr_table[jnp.minimum(state.step // self._spe,
+                                  lr_table.shape[0] - 1)]
+        updates = jax.tree.map(lambda u: u * lr, updates)
         new_params = optax.apply_updates(state.params, updates)
         return (
             TrainState(step=state.step + 1, params=new_params, opt_state=new_opt),
@@ -217,6 +247,7 @@ class Trainer:
         data_n: jnp.ndarray,
         sched: jnp.ndarray,    # [B, 4] int32 (item, row, col, dihedral_k)
         rng: jax.Array,
+        lr_table: jnp.ndarray,
         *,
         use_mixup: bool,
     ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
@@ -242,13 +273,29 @@ class Trainer:
 
         clean = jax.vmap(lambda row: cut(data_c, row))(sched)
         hazy = jax.vmap(lambda row: cut(data_n, row))(sched)
-        return self._train_step_impl(state, clean, hazy, rng,
+        return self._train_step_impl(state, clean, hazy, rng, lr_table,
                                      use_mixup=use_mixup, accum_steps=1)
+
+    def lr_table_device(self):
+        """The lr table as a device-resident (mesh-replicated) array —
+        uploaded once, passed by handle every step (16 KB that must not
+        re-cross the relay 157×/epoch). Multi-process meshes replicate via
+        `replicate_to_mesh` (collective-free; the jax-0.9 `device_put`
+        eager Gloo assert is the r5 MULTICHIP root cause)."""
+        if self._lr_table_dev is None:
+            if self.mesh is not None:
+                from dehaze_tpu.parallel.mesh import replicate_to_mesh
+                self._lr_table_dev = replicate_to_mesh(self.mesh,
+                                                       self._lr_table)
+            else:
+                self._lr_table_dev = jax.device_put(self._lr_table)
+        return self._lr_table_dev
 
     def train_step_data(self, state, data_c, data_n, sched, rng,
                         use_mixup: bool):
         return self._train_step_data(state, data_c, data_n,
                                      jnp.asarray(sched), rng,
+                                     self.lr_table_device(),
                                      use_mixup=use_mixup)
 
     def train_step(self, state, clean, hazy, rng, use_mixup: bool,
@@ -264,7 +311,8 @@ class Trainer:
                 "slightly from the single-step bs-32 recipe; Charbonnier "
                 "accumulates exactly", stacklevel=2)
             self._warned_accum_cr = True
-        return self._train_step(state, jnp.asarray(clean), jnp.asarray(hazy), rng,
+        return self._train_step(state, jnp.asarray(clean), jnp.asarray(hazy),
+                                rng, self.lr_table_device(),
                                 use_mixup=use_mixup, accum_steps=accum_steps)
 
     # ------------------------------------------------------------ eval step

@@ -1,0 +1,76 @@
+#!/bin/bash
+# Round-5 final eval block: every thesis artifact from the completed
+# 270-epoch campaign checkpoint + the FFA checkpoint, SERIALIZED on the one
+# chip (HBM is shared — verify skill "Environment gotchas").
+#
+# Run AFTER the campaign supervisor has printed "campaign complete" and no
+# other chip job is live. Artifacts land under runs/final/; each step logs
+# to runs/final/*.log. Reference anchors: test_long_GPU.py:26 (21.1591 dB),
+# README.md:112 (270-epoch recipe), README.md:152-163 (trajectory),
+# README.md:165-209 (ViT-vs-FFA landscape thesis figure).
+set -u
+REPO=${REPO:-/root/repo}
+cd "$REPO"
+CAMP=$REPO/runs/campaign
+BEST=$CAMP/log/uformer_c/models/model_best.msgpack
+FFA=$REPO/runs/ffa/ffa_best.msgpack
+OUT=$REPO/runs/final
+mkdir -p "$OUT"
+
+step() { echo "== [$(date +%H:%M:%S)] $*"; }
+
+# 1. Whole-image eval, published square protocol (cold 1664^2 compile —
+#    this also warms the cache the driver's bench run needs).
+step "test_long (square protocol)"
+timeout 3600 python -m dehaze_tpu.cli.test_long \
+    --input_dir "$CAMP/data/test" --weights "$BEST" \
+    --result_dir "$OUT/long_square" > "$OUT/test_long_square.log" 2>&1
+tail -n 6 "$OUT/test_long_square.log"
+
+# 2. Training-curve artifact across every supervisor-resumed segment.
+step "curves"
+timeout 900 env JAX_PLATFORMS=cpu python -m dehaze_tpu.cli.curves \
+    --log_dir "$CAMP/log/uformer_c" --out "$OUT/curves.png" \
+    --csv "$OUT/curves.csv" > "$OUT/curves.log" 2>&1
+tail -n 3 "$OUT/curves.log"
+
+# 3. Optimization trajectory over the archived per-epoch params.
+step "trajectory"
+timeout 1800 env JAX_PLATFORMS=cpu python -m dehaze_tpu.cli.trajectory \
+    --ckpt_dir "$CAMP/traj" --best "$BEST" \
+    --out "$OUT/trajectory.png" > "$OUT/trajectory.log" 2>&1
+tail -n 3 "$OUT/trajectory.log"
+
+# 4. ViT landscape sweep on the trained checkpoint — the round-3-measured
+#    bounded protocol (441 points, 64 imgs/point, Charbonnier+CR+MixUp,
+#    --points_per_batch 8 => 239 s class, NOT the unbounded full-set sweep
+#    that ran into the round-4 driver window).
+step "landscape (ViT)"
+timeout 3600 python -m dehaze_tpu.cli.landscape \
+    --weights "$BEST" --train_dir "$CAMP/data/train_patches" \
+    --train_ps 128 --embed_dim 32 --batch_size 32 \
+    --n 21 --max_batches 2 --points_per_batch 8 \
+    --out_csv "$OUT/landscape_vit.csv" --out_plot "$OUT/landscape_vit.jpg" \
+    > "$OUT/landscape_vit.log" 2>&1
+tail -n 3 "$OUT/landscape_vit.log"
+
+# 5. FFA landscape sweep, same grid/budget (L1 + MixUp-free FFA protocol;
+#    --perloss adds 0.04*VGG16 perceptual per FFA_.../ops/My_tests.py:86-89).
+step "landscape (FFA)"
+timeout 3600 python -m dehaze_tpu.cli.landscape \
+    --arch ffa --weights "$FFA" --train_dir "$CAMP/data/train_patches" \
+    --train_ps 240 --batch_size 2 \
+    --n 21 --max_batches 8 --points_per_batch 2 \
+    --out_csv "$OUT/landscape_ffa.csv" --out_plot "$OUT/landscape_ffa.jpg" \
+    > "$OUT/landscape_ffa.log" 2>&1
+tail -n 3 "$OUT/landscape_ffa.log"
+
+# 6. The thesis comparison figure + flatness stats.
+step "landscape_pair"
+timeout 900 env JAX_PLATFORMS=cpu python -m dehaze_tpu.cli.landscape_pair \
+    "$OUT/landscape_vit.csv" "$OUT/landscape_ffa.csv" \
+    --labels ViT FFA --out "$OUT/landscape_compare.jpg" \
+    > "$OUT/landscape_pair.log" 2>&1
+cat "$OUT/landscape_pair.log"
+
+step "final_eval done"
