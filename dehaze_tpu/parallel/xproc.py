@@ -144,11 +144,12 @@ def run_worker(num_processes: int, process_id: int, coordinator: str,
     # collective): the step's grad psum opens its own Gloo context, and the
     # minutes-long compile is exactly where a loaded 1-core host staggers
     # the workers past the 30 s window.
+    lr_table = trainer.lr_table_device()  # mesh-replicated, collective-free
     step_exec = trainer._train_step.lower(
-        state, gclean, ghazy, step_rng, use_mixup=False,
+        state, gclean, ghazy, step_rng, lr_table, use_mixup=False,
         accum_steps=1).compile()
     _pbar("train_step")
-    state, metrics = step_exec(state, gclean, ghazy, step_rng)
+    state, metrics = step_exec(state, gclean, ghazy, step_rng, lr_table)
     results["train_loss"] = float(metrics["loss"])
 
     # ---- phase B: frame-parallel inference (≙ test_long frame batching)
