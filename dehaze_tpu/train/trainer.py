@@ -66,7 +66,10 @@ def make_optimizer(cfg: Config, steps_per_epoch: int,
     same executable. The callable unit schedule keeps the optimizer state
     structure (ScaleByScheduleState(count)) byte-compatible with every
     earlier checkpoint, and `x*(-lr)` ≡ `(x*-1)*lr` in IEEE semantics, so
-    updates are bit-identical to the baked-schedule step.
+    the update MATH is identical to the baked-schedule step. (The two are
+    different compiled programs, so XLA fuses them differently: measured
+    parity vs a baked schedule is ≤1 f32 ulp per leaf after 5 steps —
+    tests/test_train.py::test_lr_table_step_matches_baked_schedule.)
     """
     t = cfg.train
     sched = lambda count: 1.0  # real lr applied in _train_step_impl

@@ -295,3 +295,49 @@ def test_u8_transfer_step_matches_float(batch):
     pf = trainer.evaluate(st.params, iter([(c32, h32)]))
     pu = trainer.evaluate(st.params, iter([(c8, h8)]))
     np.testing.assert_allclose(pf, pu, rtol=1e-4)
+
+
+def test_lr_table_step_matches_baked_schedule(batch):
+    """The runtime-lr-table step (unit optax schedule, lr applied in-step)
+    matches a baked optax schedule to ~1 f32 ulp per step — the claim that
+    makes the one-executable-across-supervisor-segments design safe
+    (trainer.make_optimizer docstring). The residual is cross-PROGRAM
+    fusion rounding (the table indexing changes the fused HLO), not update
+    math: measured max|d| after 5 steps = 1.19e-07 on ~1.0-magnitude norm
+    scales. Timeline crosses two epoch boundaries."""
+    import optax
+
+    from dehaze_tpu.train.schedule import lr_schedule_from_epoch_fn
+
+    clean, hazy = batch
+    epoch_lr = lambda e: [0.0, 1e-3, 4e-4, 2e-4][min(e, 3)]
+    spe = 2  # 5 steps below span epochs 0,1,2
+
+    t_table = Trainer(tiny_config(), steps_per_epoch=spe, epoch_lr=epoch_lr)
+    t_baked = Trainer(tiny_config(), steps_per_epoch=spe, epoch_lr=epoch_lr)
+    # Rewire t_baked to the pre-round-5 construction: real schedule inside
+    # optax, identity in-step scaling (all-ones table). Mutating before the
+    # first call is safe — the jitted steps read self.tx at trace time.
+    tr = t_baked.cfg.train
+    t_baked.tx = optax.adamw(
+        lr_schedule_from_epoch_fn(epoch_lr, spe),
+        b1=tr.beta1, b2=tr.beta2, eps=tr.eps, weight_decay=tr.weight_decay)
+    t_baked._lr_table = np.ones_like(t_baked._lr_table)
+    t_baked._lr_table_dev = None
+
+    s_a = t_table.init_state(jax.random.PRNGKey(7), clean[:1])
+    s_b = t_baked.init_state(jax.random.PRNGKey(7), clean[:1])
+    key = jax.random.PRNGKey(3)
+    for _ in range(5):
+        key, sub = jax.random.split(key)
+        s_a, _ = t_table.train_step(s_a, clean, hazy, sub, use_mixup=False)
+        s_b, _ = t_baked.train_step(s_b, clean, hazy, sub, use_mixup=False)
+    pa = jax.device_get(s_a.params)
+    pb = jax.device_get(s_b.params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=0, atol=6e-7),
+        pa, pb)
+    # epoch-0 lr is 0.0 in this timeline: after the first 2 steps nothing
+    # may move (regression for the warmup lr=0 reference quirk riding the
+    # table path) — checked via the lr table itself.
+    assert t_table._lr_table[0] == 0.0 and t_table._lr_table[1] == 1e-3
