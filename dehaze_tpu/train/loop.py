@@ -212,6 +212,31 @@ def fit(cfg: Config, log_dir: Optional[str] = None) -> Tuple[float, str]:
     logger.text(f"Input & GT  PSNR {psnr0:.4f} dB | SSIM {ssim0:.4f}")
 
     best_psnr, best_epoch, best_iter = 0.0, 0, 0
+    best_path = os.path.join(model_dir, "model_best.msgpack")
+    if start_epoch > 1 and os.path.exists(best_path):
+        # Cross-segment best continuity: every supervisor segment is a fresh
+        # process, and an unseeded tracker lets a later, WORSE segment
+        # overwrite the campaign's true best (observed live in round 5:
+        # 23.71 dB @ ep102 clobbered by a 23.40 @ ep164 segment-local best).
+        # Seed from the saved checkpoint so `psnr > best_psnr` guards the
+        # file across segments; checkpoints predating the psnr extra seed
+        # 0.0, i.e. the old always-overwrite behavior.
+        import json as _json
+
+        from dehaze_tpu.train.checkpoint import load_payload as _lp
+
+        try:
+            _pay = _lp(best_path)
+            _bex = _json.loads(_pay.get("extra") or "{}")
+            best_psnr = float(_bex.get("psnr", 0.0))
+            best_epoch = int(_bex.get("epoch", _pay.get("epoch", 0)))
+            best_iter = int(_bex.get("iter", 0))
+            if best_psnr > 0.0:
+                logger.text(f"==> model_best carries PSNR {best_psnr:.4f} "
+                            f"(Ep {best_epoch} it {best_iter}) — preserved "
+                            "unless beaten")
+        except Exception as e:  # a corrupt best must not kill the segment
+            logger.text(f"==> model_best unreadable ({e!r}) — tracker reset")
     eval_every = max(1, steps_per_epoch // t.evals_per_epoch)
     # DEHAZE_TPU_SYNC_CKPT=1 falls back to blocking saves (A/B measurement,
     # or hosts where a concurrent device->host fetch hurts step dispatch).
@@ -317,7 +342,10 @@ def fit(cfg: Config, log_dir: Optional[str] = None) -> Tuple[float, str]:
                         best_pending = (
                             epoch,
                             jax.tree.map(jnp.copy, state.params),
-                            {"psnr": psnr, "ssim": ssim},
+                            # epoch/iter ride the extra so a resumed
+                            # segment can seed the full best tracker
+                            {"psnr": psnr, "ssim": ssim,
+                             "epoch": epoch, "iter": i},
                         )
                     logger.text(
                         f"[Ep {epoch} it {i}] PSNR {psnr:.4f} | SSIM {ssim:.4f}"

@@ -146,3 +146,41 @@ def test_fit_exit_after_then_resume(tiny_ds, tmp_path):
                                               "epoch_model_1.msgpack"))
     fit(cfg2)
     assert os.path.exists(os.path.join(model_dir, "epoch_model_2.msgpack"))
+
+
+@pytest.mark.slow  # fit() x2 (round-4 durations audit)
+def test_resume_preserves_better_model_best(tiny_ds, tmp_path):
+    """A resumed segment must never clobber a BETTER model_best from an
+    earlier segment (round-5 live bug: each fresh process reset the best
+    tracker to 0 and overwrote 23.71 dB with its own 23.40 dB local best).
+    The tracker now seeds from model_best's saved extra."""
+    import json
+
+    from flax import serialization
+
+    from dehaze_tpu.train.checkpoint import load_payload, save_checkpoint
+
+    cfg = _cfg(tiny_ds, tmp_path)
+    _, ckpt = fit(cfg)
+    model_dir = os.path.dirname(ckpt)
+
+    # Rewrite model_best as an (artificially) unbeatable earlier-segment
+    # best: same params, PSNR 99.
+    pay = load_payload(ckpt)
+    params_sd = serialization.msgpack_restore(pay["params"]) \
+        if isinstance(pay["params"], bytes) else pay["params"]
+    save_checkpoint(ckpt, 1, params_sd,
+                    extra={"psnr": 99.0, "ssim": 1.0, "epoch": 1, "iter": 3})
+    before = os.path.getmtime(ckpt)
+
+    cfg2 = replace(cfg, train=replace(
+        cfg.train, nepoch=3, resume=True,
+        pretrain_weights=os.path.join(model_dir, "epoch_model_2.msgpack")))
+    best2, _ = fit(cfg2)
+
+    # the seeded 99.0 was never beaten: file untouched, fit reports it
+    assert best2 == pytest.approx(99.0)
+    assert os.path.getmtime(ckpt) == before
+    extra = json.loads(load_payload(ckpt)["extra"])
+    assert extra["psnr"] == pytest.approx(99.0)
+    assert extra["epoch"] == 1 and extra["iter"] == 3
