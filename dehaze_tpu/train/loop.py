@@ -416,7 +416,12 @@ def fit(cfg: Config, log_dir: Optional[str] = None) -> Tuple[float, str]:
                 ckpt_writer.save(
                     os.path.join(model_dir, "model_best.msgpack"),
                     be, bp, extra=bx)
-            except Exception:
-                pass
+            except Exception as fe:
+                # e.g. fetching the pinned device params also hits
+                # RESOURCE_EXHAUSTED on an exhausted arena — the flush is
+                # lost, but say so (r5 campaign: a silent pass here hid
+                # losing the ep164 23.40 dB pending best)
+                logger.text(f"==> best-checkpoint flush FAILED ({fe!r}) — "
+                            f"Ep {be} pending best not persisted")
         ckpt_writer.close()
     return best_psnr, os.path.join(model_dir, "model_best.msgpack")
