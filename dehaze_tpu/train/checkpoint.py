@@ -17,6 +17,7 @@ import json
 import os
 from typing import Any, Dict, Optional, Tuple
 
+import jax
 from flax import serialization
 
 
@@ -95,19 +96,28 @@ class AsyncCheckpointer:
     Exceptions surface on the next save()/wait().
     """
 
-    def __init__(self):
+    def __init__(self, fetcher=None):
         import concurrent.futures as cf
 
         self._pool = cf.ThreadPoolExecutor(max_workers=1)
         self._pending = None
+        # Optional transfer.PackedFetcher: reuses donated destination
+        # buffers so the per-save pack allocates zero device memory (the
+        # relay retains fresh jit outputs — DESIGN.md round-5 ops log).
+        self._fetcher = fetcher
 
-    @staticmethod
-    def _snapshot(tree: Any) -> Any:
+    def _snapshot(self, tree: Any) -> Any:
         """Device→host fetch on the caller thread (see class docstring).
 
         Packed: one transfer per dtype instead of one per leaf — on the
         latency-bound relay the naive per-leaf fetch of the 300+-leaf
-        state cost ~60 s per save (utils/transfer.py)."""
+        state cost ~60 s per save (utils/transfer.py). Host (numpy) trees
+        pass through untouched, so callers may pre-snapshot."""
+        if not any(isinstance(l, jax.Array)
+                   for l in jax.tree_util.tree_leaves(tree)):
+            return tree
+        if self._fetcher is not None:
+            return self._fetcher(tree)
         from dehaze_tpu.utils.transfer import device_get_packed
 
         return device_get_packed(tree)

@@ -23,7 +23,7 @@ from dehaze_tpu.train.checkpoint import AsyncCheckpointer
 from dehaze_tpu.train.schedule import make_epoch_lr, resume_cosine_lr
 from dehaze_tpu.train.trainer import Trainer
 from dehaze_tpu.utils.logging import RunLogger
-from dehaze_tpu.utils.transfer import wait
+from dehaze_tpu.utils.transfer import PackedFetcher, wait
 
 
 def _val_batches(folder: PairedFolder, ps: int, batch_size: int, seed: int = 0,
@@ -247,18 +247,30 @@ def fit(cfg: Config, log_dir: Optional[str] = None) -> Tuple[float, str]:
         class _SyncWriter:
             def save(self, path, epoch_, params_, opt_state_=None, extra=None):
                 # packed fetch here too: serialization.to_bytes on a device
-                # tree fetches per leaf — ~60 s on the latency-bound relay
-                save_checkpoint(
-                    path, epoch_, device_get_packed(params_),
-                    device_get_packed(opt_state_)
-                    if opt_state_ is not None else None, extra)
+                # tree fetches per leaf — ~60 s on the latency-bound relay.
+                # Host (numpy) trees pass through (the best snapshot is
+                # already host-side).
+                def snap(tr):
+                    if tr is None or not any(
+                            isinstance(l, jax.Array)
+                            for l in jax.tree_util.tree_leaves(tr)):
+                        return tr
+                    return device_get_packed(tr)
+
+                save_checkpoint(path, epoch_, snap(params_),
+                                snap(opt_state_), extra)
 
             def close(self):
                 pass
 
         ckpt_writer = _SyncWriter()
     else:
-        ckpt_writer = AsyncCheckpointer()
+        # Single-device runs reuse donated pack buffers so per-epoch saves
+        # allocate zero device memory (the relay retains fresh jit outputs;
+        # ~240 MB/epoch of packed-fetch buffers exhausted a degraded arena
+        # in ~3 epochs — DESIGN.md round-5 ops log).
+        fetcher = PackedFetcher() if mesh is None else None
+        ckpt_writer = AsyncCheckpointer(fetcher=fetcher)
 
     if d.device_data and mesh is not None:
         raise NotImplementedError(
@@ -331,17 +343,21 @@ def fit(cfg: Config, log_dir: Optional[str] = None) -> Tuple[float, str]:
                     if psnr > best_psnr:
                         best_psnr, best_epoch, best_iter = psnr, epoch, i
                         # Defer the WRITE to epoch end: early epochs improve
-                        # at every eval, and each write is a full params
-                        # fetch through the relay. The device-side copy
-                        # (jnp.copy, ~HBM speed) pins THIS eval point's
-                        # params against later steps' buffer donation.
-                        # Params ONLY — model_best exists for eval/inference,
-                        # and the opt_state copy doubled the pinned HBM for
-                        # a field nothing reads (ADVICE r4 #2; per-epoch
-                        # checkpoints carry opt_state for resume).
+                        # at every eval and the msgpack write is host work.
+                        # The snapshot itself goes to HOST here (packed,
+                        # ~2 transfers): a device-side jnp.copy pin held
+                        # ~80 MB of fresh device buffers per improvement,
+                        # which the relay retains (round-5 ops log), and a
+                        # host snapshot also survives an exhausted-arena
+                        # crash (the ep164 lost-flush incident). Params
+                        # ONLY — model_best exists for eval/inference
+                        # (ADVICE r4 #2; per-epoch checkpoints carry
+                        # opt_state for resume).
                         best_pending = (
                             epoch,
-                            jax.tree.map(jnp.copy, state.params),
+                            ckpt_writer._snapshot(state.params)
+                            if hasattr(ckpt_writer, "_snapshot")
+                            else jax.device_get(state.params),
                             # epoch/iter ride the extra so a resumed
                             # segment can seed the full best tracker
                             {"psnr": psnr, "ssim": ssim,
