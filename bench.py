@@ -102,13 +102,25 @@ def contention_fields() -> dict:
     except OSError:
         pass
     sibs = []
-    me = os.getpid()
+    # Exclude this process AND its ancestor chain: the driver invokes
+    # `timeout N python bench.py` under a wrapper shell, and those parent
+    # cmdlines contain "python" — without the walk every official run
+    # self-flags as contended.
+    mine = set()
+    pid = os.getpid()
+    while pid > 1:
+        mine.add(pid)
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                pid = int(f.read().split(")")[-1].split()[1])
+        except (OSError, ValueError, IndexError):
+            break
     try:
-        for pid in os.listdir("/proc"):
-            if not pid.isdigit() or int(pid) == me:
+        for p in os.listdir("/proc"):
+            if not p.isdigit() or int(p) in mine:
                 continue
             try:
-                with open(f"/proc/{pid}/cmdline", "rb") as f:
+                with open(f"/proc/{p}/cmdline", "rb") as f:
                     cmd = f.read().replace(b"\0", b" ").decode().strip()
             except OSError:
                 continue
