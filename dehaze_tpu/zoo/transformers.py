@@ -372,22 +372,21 @@ def swin_window_attention(self_mod, x, prefix: str, *, heads: int,
                           dtype: Dtype = jnp.float32):
     """`WindowAttention` (`swin.py:36-72`) on NHWC maps.
 
-    When the feature map is SMALLER than the window (deep stages at CIFAR
-    geometry: 32² → stage maps 8,4,2,1, where the reference's einops
+    When the feature map can't tile with the static window (deep stages at
+    CIFAR geometry: 32² → stage maps 8,4,2,1, where the reference's einops
     rearrange would error — swin is dead code there, never registered in
-    `models/__init__.py`), the effective window collapses to the map size —
-    the same idiom the dehazing Uformer uses (`My_model.py:867-869`). The
-    rel-pos table keeps the static window's (2p−1)² shape (param/ckpt
-    compatibility) and the collapsed window indexes its central block;
-    parity with the torch oracle is unaffected at geometries the reference
-    can run."""
+    `models/__init__.py`), the effective window collapses to the largest
+    size ≤ min(window, h, w) that divides the map — the same idiom the
+    dehazing Uformer uses (`My_model.py:867-869`). At 32² with window 7
+    that is 4,4,2,1 per stage; at the reference's 224² (maps 56,28,14,7)
+    every stage divides and the collapse is a no-op. The rel-pos table
+    keeps the static window's (2w−1)² shape (param/ckpt compatibility) and
+    the collapsed window indexes its central block; parity with the torch
+    oracle is unaffected at geometries the reference can run."""
     b, h, w, c = x.shape
     p = min(window, h, w)
-    if h % p or w % p:
-        raise ValueError(
-            f"feature map {h}x{w} not divisible by window {p} — pick a "
-            f"window_size/image_size pair whose stage maps divide (stage "
-            f"maps at image_size s are s/4, s/8, s/16, s/32)")
+    while p > 1 and (h % p or w % p):
+        p -= 1
     n1, n2 = h // p, w // p
     d = p // 2
 

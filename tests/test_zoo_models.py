@@ -62,18 +62,28 @@ def test_convit_padding_validation():
                train=False)
 
 
-def test_swin_window_validation():
+def test_swin_window_collapse_indivisible():
+    """Indivisible map/window pairs (e.g. 8×8 map, window 3 → collapses to
+    2; the reference's native window 7 at 32² → 4,4,2,1 per stage) run
+    instead of raising — the residual r5 redrive failure `feature map 8x8
+    not divisible by window 7`. The collapse picks the largest divisor of
+    the map ≤ the static window, so reference geometry (224²: 56,28,14,7
+    all divide window 7) is untouched."""
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from dehaze_tpu.zoo.transformers import SwinZoo
 
     m = SwinZoo(depths=(2, 2, 2, 2), dims=(8, 16, 32, 64),
                 heads=(1, 2, 4, 8), dims_mlp=(16, 32, 64, 128),
                 dim_head=8, window_size=3, pools=(2, 2, 2, 2))
-    with pytest.raises(ValueError, match="window"):
-        m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
-               train=False)
+    x = jnp.asarray(np.random.default_rng(1).uniform(
+        size=(2, 32, 32, 3)).astype(np.float32))
+    vs = m.init(jax.random.PRNGKey(0), x, train=False)
+    out = m.apply(vs, x, train=False)
+    assert out.shape == (2, 10)
+    assert np.isfinite(np.asarray(out)).all()
 
 
 def test_swin_window_collapse_small_stages():
